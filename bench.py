@@ -1,0 +1,89 @@
+"""Benchmark: 256^2 tiles/sec/chip for full 15-step DDIM whole-brain-style
+generation (the north-star metric, BASELINE.md).
+
+Baseline: the reference generates the 286x414-tile brain (118,404 tiles) in
+"roughly one week" on an 8-GPU A100 DGX (README.md:72-77) ->
+118404 / (604800 s * 8 GPU) ~= 0.02447 tiles/sec/GPU.
+
+Prints ONE JSON line {metric, value, unit, vs_baseline}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+REF_TILES_PER_SEC_PER_GPU = 118404 / (604800.0 * 8)
+
+
+def main():
+    from tera_mind_tpu.config import prep_config
+    from tera_mind_tpu.diffusion.sampler import DiffusionSampler, SamplerConfig
+    from tera_mind_tpu.parallel.generator import GeneratorConfig, TeraGenerator
+
+    rows = cols = int(os.environ.get("BENCH_TILES", "2"))
+    steps = int(os.environ.get("BENCH_STEPS", "15"))
+
+    conf = prep_config("638850", batch=4, size=64, stain="all", srna=4)
+    conf.compute_dtype = "bfloat16"
+    model = conf.make_model_conf().make_model()
+
+    gconf = GeneratorConfig(tile=256, patch=64, gn_blk=16, snum=4,
+                            n_slices=50, stains=2, gdim=500,
+                            noise_backend="jax")
+    sampler = DiffusionSampler(
+        conf.make_eval_sampler(T=steps).schedule,
+        SamplerConfig(patch_size=64, gn_sz=4))
+
+    # init params against a representative patch batch
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((4, 64, 64, conf.in_channels))
+    rna = jnp.zeros((4, 4, 4, conf.rna_slices * 500))
+    params = model.init(rng, x, jnp.zeros((1,), jnp.int32), rna, 2, 2)
+
+    def model_fn(xp, tm, rp, p1, p2):
+        return model.apply(params, xp, tm, rp, p1, p2)
+
+    gen = TeraGenerator(sampler, model_fn, gconf)
+    # synthetic sparse-ish gene stack, uint8 counts
+    grng = np.random.default_rng(0)
+    gene = (grng.random((rows, cols, gconf.gsz, gconf.gsz, gconf.z_pad,
+                         gconf.gdim)) < 0.01).astype(np.uint8)
+    state = gen.init_state(rows, cols)
+
+    step = gen.compile_step(rows, cols)
+    dev_state = jnp.asarray(state)
+    dev_gene = jnp.asarray(gene)
+
+    # warmup/compile
+    out = step(dev_state, dev_gene, jnp.int32(steps - 1))
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    s = dev_state
+    for t in range(steps - 1, -1, -1):
+        s = step(s, dev_gene, jnp.int32(t))
+    jax.block_until_ready(s)
+    dt = time.time() - t0
+
+    tiles = rows * cols
+    tiles_per_sec = tiles / dt
+    print(json.dumps({
+        "metric": "256x256x100ch tiles/sec/chip, full 15-step DDIM",
+        "value": round(tiles_per_sec, 5),
+        "unit": "tiles/s/chip",
+        "vs_baseline": round(tiles_per_sec / REF_TILES_PER_SEC_PER_GPU, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

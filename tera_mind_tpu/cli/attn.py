@@ -1,0 +1,185 @@
+"""Gene-gene attention extraction CLI (reference test_attn.py surface).
+
+--calc_attn: run the trained gene-gene attention block over a region's
+tiles and write, per tile, the pathway attention products:
+for each z-group (3 sliding pairs + ensemble) and each pathway gene g in
+the selected list, the attention-weighted expression map
+``sum_j attn[g, j] * expr[j]``, plus the raw expression baseline
+(reference test_attn.py:359-431).
+
+--is_vis: per-slice heatmaps + attention-vs-expression plots from the
+extracted tiles (reference test_attn.py:80-308) — minimal matplotlib port.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def pathway_products(attn: np.ndarray, expr: np.ndarray,
+                     glst: np.ndarray) -> np.ndarray:
+    """attn: (G, G) row-softmax; expr: (gh, gw, G) windowed expression.
+
+    Returns (len(glst)+1 stacks): for each selected gene, the map
+    ``expr @ attn[g, :]`` over the subselected gene set, then the raw
+    expression of the selected genes (reference test_attn.py:405-422).
+    """
+    sub = attn[np.ix_(glst, glst)]            # (k, k)
+    e = expr[..., glst]                       # (gh, gw, k)
+    prod = np.einsum("hwk,gk->hwg", e, sub)   # attention-weighted maps
+    return np.concatenate([prod, e], axis=-1)  # (gh, gw, 2k)
+
+
+def main():
+    ap = argparse.ArgumentParser(description="gene-gene attention analysis")
+    ap.add_argument("--mouse", type=str, default="638850")
+    ap.add_argument("--data_path", type=str, default="")
+    ap.add_argument("--ckpt_pth", type=Path, default=None)
+    ap.add_argument("--out_dir", type=str, default="./attn_tiles")
+    ap.add_argument("--pathway", type=str, default="GLUT",
+                    choices=("GLUT", "DOPA", "BLOD", "ROI"))
+    ap.add_argument("--roi", type=int, default=0, help="MROI index")
+    ap.add_argument("--hst", type=int, default=256)
+    ap.add_argument("--wst", type=int, default=256)
+    ap.add_argument("--hnm", type=int, default=4)
+    ap.add_argument("--wnm", type=int, default=4)
+    ap.add_argument("--calc_attn", action="store_true")
+    ap.add_argument("--is_vis", action="store_true")
+    ap.add_argument("--synthetic", action="store_true")
+    args = ap.parse_args()
+
+    from ..config import config_from_name, prep_config
+    from ..constants import MALL, MROI
+
+    if args.ckpt_pth is not None:
+        conf = config_from_name(args.ckpt_pth.parent.name)
+    else:
+        conf = prep_config(args.mouse)
+
+    if args.calc_attn:
+        _calc(args, conf)
+    if args.is_vis:
+        _vis(args, conf)
+
+
+def _gene_names(mouse: str) -> list[str]:
+    """Panel gene names; synthetic fallback g0..gN."""
+    csv = Path(__file__).parent.parent / "assets" / f"{mouse[:5]}_gnm.csv"
+    if csv.exists():
+        return [ln.strip() for ln in csv.read_text().splitlines()[1:]]
+    return [f"g{i}" for i in range(500)]
+
+
+def _calc(args, conf):
+    import jax
+    import jax.numpy as jnp
+
+    from ..constants import MALL
+    from ..data.tilestore import TileStore, tile_name
+    from ..models.unet_attn import GeneAttnExtractor, extractor_params_from_unet
+    from .generate import load_gene_tile, synthetic_gene_grid
+
+    names = _gene_names(args.mouse)
+    want = MALL[args.pathway] if args.pathway in MALL else []
+    glst = np.array([names.index(g) for g in want if g in names],
+                    dtype=np.int64)
+    if len(glst) == 0:
+        glst = np.arange(min(2, conf.rna_num))
+
+    ext = GeneAttnExtractor(rna_num=conf.rna_num, z_rna=conf.rna_slices,
+                            gn_sz=conf.gn_sz)
+    gsz = 20
+    z_pad = 52
+    rna0 = jnp.zeros((1, conf.gn_sz, conf.gn_sz,
+                      conf.rna_slices * conf.rna_num))
+    if args.ckpt_pth is not None and args.ckpt_pth.suffix == ".ckpt":
+        from ..convert import convert_unet_params, load_torch_state_dict
+        uparams = convert_unet_params(load_torch_state_dict(args.ckpt_pth),
+                                      conf.make_model_conf())
+        params = extractor_params_from_unet(uparams)
+    else:
+        params = ext.init(jax.random.PRNGKey(0), rna0)
+        print("WARNING: random-init attention weights", flush=True)
+
+    apply = jax.jit(lambda r: ext.apply(params, r))
+    store = TileStore(args.out_dir).create()
+
+    spad = {1: 0, 4: 1, 8: 1, 16: 3}[conf.rna_slices]
+    if args.synthetic:
+        gene = synthetic_gene_grid(args.hnm, args.wnm, gsz, z_pad, 500)
+    for r in range(args.hnm):
+        for c in range(args.wnm):
+            h0 = args.hst + r * 256
+            w0 = args.wst + c * 256
+            if args.synthetic:
+                stack = gene[r, c].astype(np.float32)
+            else:
+                gdir = Path(args.data_path
+                            or f"Data/MERFISH_50/gene_{args.mouse}")
+                nm = (f"{h0}_{h0+256}_{w0}_{w0+256}_"
+                      f"{h0-128}_{h0+384}_{w0-128}_{w0+384}.npz")
+                stack = load_gene_tile(gdir / nm, gblk=16, gdim=500,
+                                       spad=spad)
+            # central z window of rna_slices slices, interior 16x16 bins
+            z0 = (stack.shape[2] - conf.rna_slices) // 2
+            win = stack[2:-2, 2:-2, z0:z0 + conf.rna_slices, :]
+            gh = win.shape[0]
+            # model expects per-patch grids; use the whole 16x16 as one grid
+            rna_dense = win.reshape(1, gh, gh,
+                                    conf.rna_slices * 500)[...,
+                                                           :conf.rna_slices
+                                                           * conf.rna_num]
+            attn_stack, rna_core = apply(jnp.asarray(rna_dense))
+            attn_stack = np.asarray(attn_stack)  # (groups, 1, G, G)
+            expr = np.asarray(rna_core)[0].sum(0)  # (gh, gw, G) z-summed
+            outs = [pathway_products(a[0], expr, glst)
+                    for a in attn_stack]
+            store.write(tile_name(h0, h0 + 256, w0, w0 + 256),
+                        np.stack(outs).astype(np.float16))
+    # persist the raw ensemble attention matrix for downstream analysis
+    np.save(Path(args.out_dir) / "attn_ensemble.npy", attn_stack[-1][0])
+    print(f"attn tiles -> {args.out_dir}", flush=True)
+
+
+def _vis(args, conf):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..data.tilestore import TileStore
+
+    store = TileStore(args.out_dir)
+    names = store.names()
+    if not names:
+        print("no attention tiles found", flush=True)
+        return
+    odir = Path(args.out_dir) / "vis"
+    odir.mkdir(parents=True, exist_ok=True)
+    # stitch the grid per group/channel and save heatmaps
+    tiles = {n: store.read(n) for n in names}
+    first = next(iter(tiles.values()))
+    n_groups, gh, gw, k2 = first.shape
+    for grp in range(n_groups):
+        for ch in range(k2):
+            fig, ax = plt.subplots(figsize=(6, 6))
+            rows = sorted({n.split("_")[0] for n in names}, key=int)
+            cols = sorted({n.split("_")[2] for n in names}, key=int)
+            canvas = np.zeros((len(rows) * gh, len(cols) * gw), np.float32)
+            for n, tile in tiles.items():
+                r = rows.index(n.split("_")[0])
+                c = cols.index(n.split("_")[2])
+                canvas[r * gh:(r + 1) * gh, c * gw:(c + 1) * gw] = \
+                    tile[grp, :, :, ch]
+            ax.imshow(canvas, cmap="magma")
+            ax.set_axis_off()
+            fig.savefig(odir / f"group{grp}_ch{ch}.png",
+                        bbox_inches="tight", dpi=150)
+            plt.close(fig)
+    print(f"heatmaps -> {odir}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

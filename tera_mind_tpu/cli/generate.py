@@ -1,0 +1,172 @@
+"""Tera-scale generation CLI (reference test_brn.py argument surface).
+
+Whole-brain / ROI generation over the tile grid with restart support:
+
+    python -m tera_mind_tpu.cli.generate --mouse 638850 \
+        --ckpt_pth checkpoints/638850_64_229_all_4_ours/last.ckpt \
+        --hst 38400 --wst 38400 --hnm 32 --wnm 32 --out_dir out/roi
+
+The reference's per-timestep zarr dirs + NCCL barriers (test_brn.py:232-273)
+are replaced by an in-memory device-resident loop; state is spilled to
+``{out_dir}_state_{epoch}`` every ``--ckpt_every`` steps for resume
+(--cur_epoch parity comes free: the latest spill is picked up).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def load_gene_tile(path: Path, *, gblk: int, gdim: int, spad: int,
+                   tile: int = 256, overlap: int = 128, pad: int = 32
+                   ) -> np.ndarray:
+    """Load one inference gene file -> (gsz, gsz, z_pad, G) dense stack.
+
+    Files cover tile+-overlap px (named by gn_sublst, test_brn.py:51-70);
+    bins are summed over gblk px and cropped to the half-patch-padded tile
+    window, and the z channel axis is zero-padded by ``spad`` slices
+    (reference MBADataset_tst.py:65-89).
+    """
+    from ..data.coo import COO
+    coo = COO.load_npz(path)
+    gn = coo.block_sum(gblk)
+    if spad > 0:
+        gn = gn.pad_channels(spad * gdim, spad * gdim)
+    off = (overlap - pad) // gblk
+    gsz = (tile + 2 * pad) // gblk
+    gn = gn.crop2d(off, off, gsz, gsz)
+    dense = gn.todense(np.float32)          # (gsz, gsz, z_pad*G)
+    z_pad = dense.shape[-1] // gdim
+    return dense.reshape(gsz, gsz, z_pad, gdim)
+
+
+def synthetic_gene_grid(rows, cols, gsz, z_pad, gdim, seed=0):
+    rng = np.random.default_rng(seed)
+    return ((rng.random((rows, cols, gsz, gsz, z_pad, gdim)) < 0.01) *
+            rng.integers(1, 5, (rows, cols, gsz, gsz, z_pad, gdim))
+            ).astype(np.uint8)
+
+
+def save_preview(out: np.ndarray, odir: Path, stain: str, stains: int,
+                 n_win: int, zi: int, max_px: int = 8192) -> None:
+    """Per-slice jpg previews (reference gen_img, test_brn.py:73-121)."""
+    from PIL import Image
+    odir.mkdir(parents=True, exist_ok=True)
+    h, w, c = out.shape
+    if h > max_px or w > max_px:
+        return
+    img8 = np.clip((out + 1) * 127.5, 0, 255).astype(np.uint8)
+    names = ["DAPI", "PolyT"] if stains == 2 else [stain]
+    for s, nm in enumerate(names):
+        for sl in range(n_win * zi):
+            ch = s * n_win * zi + sl
+            Image.fromarray(img8[..., ch]).save(odir / f"{sl}_{nm}_gen.jpg")
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Tera-scale generation")
+    ap.add_argument("--mouse", type=str, default="638850")
+    ap.add_argument("--data_path", "-d", type=str, default="")
+    ap.add_argument("--ckpt_pth", type=Path, default=None,
+                    help="torch .ckpt or orbax dir; parent dir name encodes "
+                    "the config (reference test_brn.py:337-344)")
+    ap.add_argument("--out_dir", "-g", type=str, default="./output_tiles")
+    ap.add_argument("--hst", type=int, default=256)
+    ap.add_argument("--wst", type=int, default=256)
+    ap.add_argument("--hnm", type=int, default=286)
+    ap.add_argument("--wnm", type=int, default=414)
+    ap.add_argument("--tot_epoch", type=int, default=15)
+    ap.add_argument("--cur_epoch", type=int, default=None,
+                    help="restart epoch; default: resume latest spill")
+    ap.add_argument("--ckpt_every", type=int, default=5)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--seed_backend", default="torch",
+                    choices=("torch", "jax"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import config_from_name, prep_config
+    from ..data.tilestore import StateCheckpoint, TileStore, tile_name
+    from ..diffusion.sampler import DiffusionSampler, SamplerConfig
+    from ..parallel.generator import GeneratorConfig, TeraGenerator
+
+    if args.ckpt_pth is not None:
+        conf = config_from_name(args.ckpt_pth.parent.name)
+    else:
+        conf = prep_config(args.mouse)
+    conf.compute_dtype = "bfloat16"
+
+    model = conf.make_model_conf().make_model()
+    gconf = GeneratorConfig(tile=256, patch=conf.image_size, gn_blk=16,
+                            snum=conf.rna_slices, n_slices=50, stains=2
+                            if conf.stain == "all" else 1, gdim=500,
+                            noise_backend=args.seed_backend)
+
+    # ---- parameters
+    rng = jax.random.PRNGKey(0)
+    ps, gn = conf.image_size, conf.gn_sz
+    x0 = jnp.zeros((4, ps, ps, conf.in_channels))
+    r0 = jnp.zeros((4, gn, gn, conf.rna_slices * 500))
+    t0 = jnp.zeros((1,), jnp.int32)
+    if args.ckpt_pth is not None and args.ckpt_pth.suffix == ".ckpt":
+        from ..convert import convert_unet_params, load_torch_state_dict
+        sd = load_torch_state_dict(args.ckpt_pth)
+        params = convert_unet_params(sd, conf.make_model_conf())
+        print("converted torch checkpoint", flush=True)
+    else:
+        params = model.init(rng, x0, t0, r0, 2, 2)
+        print("WARNING: random init (no checkpoint)", flush=True)
+
+    def model_fn(xp, tm, rp, p1, p2):
+        return model.apply(params, xp, tm, rp, p1, p2)
+
+    sampler = DiffusionSampler(
+        conf.make_eval_sampler(T=args.tot_epoch).schedule,
+        SamplerConfig(patch_size=conf.image_size, gn_sz=conf.gn_sz))
+    gen = TeraGenerator(sampler, model_fn, gconf)
+
+    rows, cols = args.hnm, args.wnm
+    row0, col0 = args.hst // 256, args.wst // 256
+
+    # ---- gene grid
+    if args.synthetic:
+        gene = synthetic_gene_grid(rows, cols, gconf.gsz, gconf.z_pad,
+                                   gconf.gdim)
+    else:
+        gdir = Path(args.data_path or f"Data/MERFISH_50/gene_{args.mouse}")
+        gene = np.zeros((rows, cols, gconf.gsz, gconf.gsz, gconf.z_pad,
+                         gconf.gdim), np.float16)
+        for r in range(rows):
+            for c in range(cols):
+                h0 = args.hst + r * 256
+                w0 = args.wst + c * 256
+                nm = (f"{h0}_{h0+256}_{w0}_{w0+256}_"
+                      f"{h0-128}_{h0+384}_{w0-128}_{w0+384}.npz")
+                gene[r, c] = load_gene_tile(
+                    gdir / nm, gblk=16, gdim=500, spad=gconf.spad)
+
+    ck = StateCheckpoint(f"{args.out_dir}_state")
+    out = gen.run(gene, row0=row0, col0=col0, grid_w=416,
+                  checkpoint=ck, checkpoint_every=args.ckpt_every)
+
+    # ---- final tiles + preview
+    store = TileStore(args.out_dir).create()
+    for r in range(rows):
+        for c in range(cols):
+            h0, w0 = args.hst + r * 256, args.wst + c * 256
+            tileimg = out[r * 256:(r + 1) * 256, c * 256:(c + 1) * 256]
+            store.write(tile_name(h0, h0 + 256, w0, w0 + 256),
+                        tileimg.astype(np.float16))
+    if rows <= 32 and cols <= 32:
+        save_preview(out, Path(args.out_dir) / "preview", conf.stain,
+                     gconf.stains, gconf.n_win, gconf.zi)
+    print(f"done: {rows}x{cols} tiles -> {args.out_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Training CLI (reference train.py:7-45 argument surface).
+
+Usage:
+    python -m tera_mind_tpu.cli.train --mouse 638850 --batch 32 \
+        --patch 64 --stain all --rna_slc 4 [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Train Tera-MIND TPU")
+    ap.add_argument("--batch", type=int, default=32, help="global batch size")
+    ap.add_argument("--patch", type=int, default=64,
+                    choices=(32, 64, 128), help="model patch size")
+    ap.add_argument("--mouse", type=str, default="638850",
+                    choices=("609882", "609889", "638850"))
+    ap.add_argument("--stain", type=str, default="all",
+                    choices=("DAPI", "PolyT", "all"))
+    ap.add_argument("--rna_slc", type=int, default=4, choices=(1, 4, 8, 16))
+    ap.add_argument("--method", type=str, default="ours")
+    ap.add_argument("--to_hbr", action="store_true",
+                    help="human-brain transfer: 81-gene M2H panel")
+    ap.add_argument("--data_path", type=str, default="",
+                    help="root of per-tile gene npz + image files")
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="train on the synthetic fixture (smoke runs)")
+    args = ap.parse_args()
+
+    from ..config import prep_config
+    from ..constants import M2H
+
+    nrna = len(M2H) if args.to_hbr else (229 if args.mouse == "638850"
+                                         else 500)
+    conf = prep_config(args.mouse, batch=args.batch, size=args.patch,
+                       stain=args.stain, nrna=nrna, srna=args.rna_slc,
+                       method=args.method, data_path=args.data_path)
+
+    from ..data.dataset import (MerfishTrainDataset, SyntheticDataset,
+                                batches)
+    from ..training.harness import Trainer
+
+    if args.synthetic:
+        ds = SyntheticDataset(n=max(args.batch * 8, 64), crop=4 * args.patch,
+                              gdim=conf.rna_num, snum=args.rna_slc,
+                              stain=args.stain, pad_bins=conf.gn_sz // 2)
+    else:
+        from pathlib import Path
+        gene_files = sorted(Path(conf.data_path).glob("gene_*/*.npz"))
+        assert gene_files, f"no gene npz under {conf.data_path}"
+        ds = MerfishTrainDataset(gene_files, gdim=500,
+                                 gblk=conf.gn_blk, crop=4 * args.patch,
+                                 snum=args.rna_slc, stain=args.stain,
+                                 pad_bins=conf.gn_sz // 2)
+
+    trainer = Trainer(conf)
+    max_steps = args.max_steps or conf.total_samples
+
+    def epochs():
+        while True:
+            yield from batches(ds, conf.batch_size)
+
+    trainer.fit(epochs(), max_steps=max_steps)
+
+
+if __name__ == "__main__":
+    main()

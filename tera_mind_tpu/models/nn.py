@@ -1,0 +1,139 @@
+"""Neural-net primitives (Flax linen), channels-last TPU layout.
+
+Feature maps are ``(B, Z, H, W, C)``; norms and linears act on the last
+axis, which maps onto TPU lanes.  Semantics-parity notes cite the reference
+(CTPLab/Tera-MIND) as file:line.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class RMSNorm(nn.Module):
+    """RMS norm over the channel (last) axis, computed in float32.
+
+    Equivalent to the reference's LlamaRMSNorm (MBAblocks.py:21-43): the
+    reference normalizes dim=1 of NCZHW tensors, i.e. per-position channel
+    RMS — identical to last-axis RMS in channels-last layout.
+    """
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        weight = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + self.eps)
+        return weight * xf.astype(dtype)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int,
+                       max_period: float = 10_000.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, [cos | sin] order.
+
+    Matches reference model/nn.py:187-206 (note: cos first).
+    """
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class TimeEmbed(nn.Module):
+    """Time(+optional position) MLP: linear-SiLU-linear.
+
+    Reference ``TimeStyleSeperateEmbed`` (unet_ours.py:442-476).  With
+    ``use_pos`` the output is [time_half | pos_half] concatenated.
+    """
+
+    out_channels: int
+    use_pos: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb: jnp.ndarray,
+                 pos_emb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        out_chn = self.out_channels // 2 if self.use_pos else self.out_channels
+        h = nn.Dense(out_chn, param_dtype=self.param_dtype, name="time_0")(t_emb)
+        h = nn.silu(h)
+        h = nn.Dense(out_chn, param_dtype=self.param_dtype, name="time_2")(h)
+        if self.use_pos:
+            assert pos_emb is not None
+            p = nn.Dense(out_chn, param_dtype=self.param_dtype, name="pos_0")(pos_emb)
+            p = nn.silu(p)
+            p = nn.Dense(out_chn, param_dtype=self.param_dtype, name="pos_2")(p)
+            h = jnp.concatenate([h, p], axis=-1)
+        return h
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: dense -> GELU(tanh) -> dense (timm-Mlp-compatible,
+    reference MBAblocks.py:11,461)."""
+
+    hidden_features: int
+    out_features: Optional[int] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = self.out_features or x.shape[-1]
+        h = nn.Dense(self.hidden_features, param_dtype=self.param_dtype,
+                     name="fc1")(x)
+        h = nn.gelu(h, approximate=True)
+        h = nn.Dense(out, param_dtype=self.param_dtype, name="fc2")(h)
+        return h
+
+
+def modulate(norm: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
+             shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """adaLN modulation: norm(x) * (1 + scale) + shift (MBAblocks.py:608-614)."""
+    return norm(x) * (scale + 1.0) + shift
+
+
+def conv3d(features: int, kernel: Sequence[int], *,
+           use_bias: bool = True,
+           zero_init: bool = False,
+           param_dtype: jnp.dtype = jnp.float32,
+           name: Optional[str] = None) -> nn.Conv:
+    """3D conv over (Z, H, W) with SAME-style explicit symmetric padding.
+
+    Kernel (1,3,3) pads (0,1,1); kernel (3,3,3) pads (1,1,1) — matching the
+    reference conv_nd usage (unet_ours.py:110-114, MBAblocks.py:131-148).
+    """
+    pad = [((k - 1) // 2, (k - 1) // 2) for k in kernel]
+    init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(features, kernel_size=tuple(kernel), padding=pad,
+                   use_bias=use_bias, kernel_init=init,
+                   param_dtype=param_dtype, name=name)
+
+
+def upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x spatial upsample of (B, Z, H, W, C); z untouched.
+
+    (reference blocks.py:363-371, dims=3 branch)
+    """
+    b, z, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, :, None, :, None, :], (b, z, h, 2, w, 2, c))
+    return x.reshape(b, z, h * 2, w * 2, c)
+
+
+def downsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 spatial average-pool of (B, Z, H, W, C); z untouched.
+
+    (reference blocks.py:389-398, stride (1,2,2) avg pool)
+    """
+    b, z, h, w, c = x.shape
+    x = x.reshape(b, z, h // 2, 2, w // 2, 2, c)
+    return x.mean(axis=(3, 5))

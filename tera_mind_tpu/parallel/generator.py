@@ -1,0 +1,252 @@
+"""Tera-scale generation: the timestep-major whole-brain sampling loop.
+
+Reference design (CTPLab/Tera-MIND test_brn.py:232-273): the DDIM time loop
+is hoisted OUTSIDE the tile loop; every timestep, each 256^2 tile reads a
+32-px halo of its 8 neighbors' state *from disk*, denoises one step, and
+writes its state back; barriers synchronize GPUs; disk is the comm fabric.
+
+TPU-native rebuild: the entire tile-grid state lives in device memory as
+one channels-last image, sharded over a ('gr','gc') mesh.  Each step is a
+single jitted SPMD program: collective halo exchange (ppermute strips) ->
+per-tile z-window unfold -> one DDIM step on a 625-patch batch per tile ->
+state update.  No disk round-trip, no barriers (SPMD sync is implicit).
+Zarr-style spills happen only every ``checkpoint_every`` steps for
+restartability (the reference's ``--cur_epoch``, test_brn.py:291-292).
+
+z-window semantics (test_brn.py:174-226): image channels are
+(stain, window, z) stain-major; image windows are NON-overlapping groups of
+``snum//2`` slices; RNA windows are OVERLAPPING groups of ``snum`` slices
+with stride ``snum//2`` over the z-padded gene stack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..data.noise import tile_init_noise
+from ..data.tilestore import StateCheckpoint
+from ..diffusion.sampler import DiffusionSampler
+from ..ops.collage import patchify
+from .halo import exchange_halo_2d, pad_halo_single
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratorConfig:
+    tile: int = 256
+    patch: int = 64
+    gn_blk: int = 16           # px per gene bin
+    snum: int = 4              # RNA z-window size
+    n_slices: int = 50         # total z slices
+    stains: int = 2
+    gdim: int = 500            # gene panel carried in the gene stack
+    noise_backend: str = "torch"  # LCG parity by default
+
+    @property
+    def pad(self) -> int:
+        return self.patch // 2
+
+    @property
+    def spad(self) -> int:
+        return {1: 0, 4: 1, 8: 1, 16: 3}[self.snum]
+
+    @property
+    def zi(self) -> int:
+        """Image z-voxels per window (= model z_size)."""
+        return max(1, self.snum // 2)
+
+    @property
+    def n_win(self) -> int:
+        """Number of z windows (= RNA windows = image windows)."""
+        z_use = self.n_slices if self.snum in (1, 4) else 48
+        return z_use // self.zi
+
+    @property
+    def z_use(self) -> int:
+        """Usable image slices (8/16-windows lose boundary slices,
+        test_brn.py:278)."""
+        return self.n_win * self.zi
+
+    @property
+    def channels(self) -> int:
+        return self.stains * self.z_use
+
+    @property
+    def z_pad(self) -> int:
+        """RNA stack depth incl. z padding."""
+        return self.n_slices + 2 * self.spad
+
+    @property
+    def gsz(self) -> int:
+        """Gene bins per padded tile side ((256+64)/16 = 20)."""
+        return (self.tile + 2 * self.pad) // self.gn_blk
+
+
+class TeraGenerator:
+    """Runs the tile-grid reverse diffusion.
+
+    model_fn(x_patches, t_model, rna_patches, p1, p2) -> (pred_col, pred_orig)
+    gene_grid: (R, C, gsz, gsz, z_pad, G) per-tile dense gene z-stacks
+               (timestep-invariant — loaded ONCE, unlike the reference which
+               re-reads gene files every epoch, MBADataset_tst.py:131-145)
+    """
+
+    def __init__(self, sampler: DiffusionSampler, model_fn: Callable,
+                 conf: GeneratorConfig, *, mesh=None,
+                 row_axis: str = "gr", col_axis: str = "gc"):
+        self.sampler = sampler
+        self.model_fn = model_fn
+        self.conf = conf
+        self.mesh = mesh
+        self.row_axis, self.col_axis = row_axis, col_axis
+        self._step_jit = None
+
+    # -------------------------------------------------------------- #
+    # initial state                                                   #
+    # -------------------------------------------------------------- #
+    def init_state(self, rows: int, cols: int, *, row0: int = 1,
+                   col0: int = 1, grid_w: int = 416) -> np.ndarray:
+        """(R*tile, C*tile, chn) LCG-seeded initial noise image.
+
+        row0/col0 are the tile's ABSOLUTE grid coordinates (the whole-brain
+        grid starts at tile (1,1); reference test_brn.py:51-70) so any
+        sub-grid reproduces the same brain.
+        """
+        c = self.conf
+        out = np.empty((rows * c.tile, cols * c.tile, c.channels), np.float32)
+        for r in range(rows):
+            for cc in range(cols):
+                n = tile_init_noise(row0 + r, col0 + cc, grid_w,
+                                    (c.tile, c.tile, c.channels),
+                                    backend=c.noise_backend)
+                out[r * c.tile:(r + 1) * c.tile,
+                    cc * c.tile:(cc + 1) * c.tile] = n
+        return out
+
+    # -------------------------------------------------------------- #
+    # one jitted step over the local block                             #
+    # -------------------------------------------------------------- #
+    def _tile_update(self, padded: jnp.ndarray, gene_tile: jnp.ndarray,
+                     r: jnp.ndarray, ccol: jnp.ndarray,
+                     t: jnp.ndarray) -> jnp.ndarray:
+        """Denoise one tile. padded: full halo-padded local image."""
+        c = self.conf
+        size = c.tile + 2 * c.pad
+        win = lax.dynamic_slice(
+            padded, (r * c.tile, ccol * c.tile, 0),
+            (size, size, c.channels))
+
+        # image z-window unfold: (320,320, s*n_win*zi) -> (n_win, 320,320, s*zi)
+        x = win.reshape(size, size, c.stains, c.n_win, c.zi)
+        x = x.transpose(3, 0, 1, 2, 4).reshape(c.n_win, size, size,
+                                               c.stains * c.zi)
+
+        # RNA windows: stride zi, length snum over the padded z stack
+        g = gene_tile.astype(jnp.float32)  # (gsz, gsz, z_pad, G)
+        wins = [g[:, :, w * c.zi: w * c.zi + c.snum, :]
+                for w in range(c.n_win)]
+        rna = jnp.stack(wins)  # (n_win, gsz, gsz, snum, G)
+        rna = rna.reshape(c.n_win, c.gsz, c.gsz, c.snum * g.shape[-1])
+        rna_pat = patchify(rna, c.patch // c.gn_blk)
+
+        t_b = jnp.full((c.n_win,), t, jnp.int32)
+        out = self.sampler.denoise_step(self.model_fn, x, rna_pat, t_b)
+        # (n_win, 256, 256, s*zi) -> (256, 256, chn)
+        out = out.reshape(c.n_win, c.tile, c.tile, c.stains, c.zi)
+        out = out.transpose(1, 2, 3, 0, 4).reshape(c.tile, c.tile, c.channels)
+        return out
+
+    def _block_step(self, state: jnp.ndarray, gene: jnp.ndarray,
+                    t: jnp.ndarray, *, sharded: bool) -> jnp.ndarray:
+        """One timestep over the local (R_loc, C_loc) tile block."""
+        c = self.conf
+        rows, cols = gene.shape[:2]
+        if sharded:
+            padded = exchange_halo_2d(state, c.pad, row_axis=self.row_axis,
+                                      col_axis=self.col_axis, fill=-1.0)
+        else:
+            padded = pad_halo_single(state, c.pad, fill=-1.0)
+
+        def body(carry, idx):
+            r, cc = idx // cols, idx % cols
+            tile_out = self._tile_update(padded, gene[r, cc], r, cc, t)
+            return carry, tile_out
+
+        _, tiles = lax.scan(body, 0, jnp.arange(rows * cols))
+        tiles = tiles.reshape(rows, cols, c.tile, c.tile, c.channels)
+        new = tiles.transpose(0, 2, 1, 3, 4).reshape(
+            rows * c.tile, cols * c.tile, c.channels)
+        return new
+
+    def compile_step(self, rows: int, cols: int):
+        """Build the jitted per-step function for a fixed grid shape."""
+        sharded = self.mesh is not None and np.prod(self.mesh.devices.shape) > 1
+        if sharded:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+            mesh = self.mesh
+            fn = shard_map(
+                partial(self._block_step, sharded=True),
+                mesh=mesh,
+                in_specs=(P(self.row_axis, self.col_axis),
+                          P(self.row_axis, self.col_axis), P()),
+                out_specs=P(self.row_axis, self.col_axis),
+                check_rep=False)
+            return jax.jit(fn)
+        return jax.jit(partial(self._block_step, sharded=False))
+
+    # -------------------------------------------------------------- #
+    # the outer loop                                                  #
+    # -------------------------------------------------------------- #
+    def run(self, gene_grid: np.ndarray, *, row0: int = 1, col0: int = 1,
+            grid_w: int = 416, state: Optional[np.ndarray] = None,
+            start_t: Optional[int] = None,
+            checkpoint: Optional[StateCheckpoint] = None,
+            checkpoint_every: int = 0,
+            progress: bool = True) -> np.ndarray:
+        """Generate the (rows x cols) tile grid; returns the final image.
+
+        Resume: pass ``state``+``start_t`` or a ``checkpoint`` that has a
+        saved timestep (the reference's ``--cur_epoch`` protocol).
+        """
+        c = self.conf
+        rows, cols = gene_grid.shape[:2]
+        T = self.sampler.schedule.num_timesteps
+
+        if state is None and checkpoint is not None:
+            latest = checkpoint.latest()
+            if latest is not None:
+                grid, meta = checkpoint.load_grid(latest)
+                state = grid.transpose(0, 2, 1, 3, 4).reshape(
+                    rows * c.tile, cols * c.tile, c.channels)
+                start_t = T - latest  # epochs done = latest
+        if state is None:
+            state = self.init_state(rows, cols, row0=row0, col0=col0,
+                                    grid_w=grid_w)
+        if start_t is None:
+            start_t = T
+
+        step = self.compile_step(rows, cols)
+        dev_state = jnp.asarray(state)
+        dev_gene = jnp.asarray(gene_grid)
+        for t in range(start_t - 1, -1, -1):
+            dev_state = step(dev_state, dev_gene, jnp.int32(t))
+            epoch = T - t  # epochs completed
+            if progress:
+                print(f"[tera] step t={t} done ({epoch}/{T})", flush=True)
+            if checkpoint is not None and checkpoint_every and \
+                    (epoch % checkpoint_every == 0 or t == 0) and t > 0:
+                arr = np.asarray(dev_state)
+                grid = arr.reshape(rows, c.tile, cols, c.tile, c.channels)
+                grid = grid.transpose(0, 2, 1, 3, 4)
+                checkpoint.save_grid(epoch, grid,
+                                     hst=row0 * c.tile, wst=col0 * c.tile,
+                                     size=c.tile)
+                checkpoint.prune(keep_t=epoch)
+        return np.asarray(dev_state)

@@ -1,0 +1,39 @@
+"""Test configuration.
+
+Compiles in this environment go through a remote-compile service; TPU-target
+compiles are fast, CPU-target ones are very slow.  Tests therefore run on
+whatever platform JAX selects by default (the TPU when available).  Heavy
+multi-device CPU-mesh tests are gated behind TMT_CPU_MESH=1 — the driver's
+``dryrun_multichip`` covers that path independently.
+"""
+
+import os
+
+# persistent compilation cache: repeated test runs reuse compiled graphs
+# (compiles here go through a remote service with variable latency — cache
+# hits bypass it entirely)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/repo/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("TMT_CPU_MESH") == "1":
+        return
+    skip = pytest.mark.skip(reason="CPU-mesh tests gated (TMT_CPU_MESH=1); "
+                            "multi-device path covered by dryrun_multichip")
+    for item in items:
+        if "cpu_mesh" in item.keywords:
+            item.add_marker(skip)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "cpu_mesh: needs a multi-device CPU mesh (slow here)")

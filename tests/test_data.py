@@ -1,0 +1,112 @@
+"""Data-pipeline invariants, porting the reference's embedded debug
+assertions as real tests (SURVEY.md section 4: MBADataset._gene_test,
+_trans_test_sp, COO==dense)."""
+
+import numpy as np
+import pytest
+
+from tera_mind_tpu.data.coo import COO
+from tera_mind_tpu.data.dataset import SPAD, SyntheticDataset, batches
+from tera_mind_tpu.data.noise import lcg, tile_init_noise, tile_seed
+
+
+def rand_coo(rng, shape, nnz):
+    coords = np.stack([rng.integers(0, s, nnz) for s in shape])
+    data = rng.integers(1, 10, nnz).astype(np.float32)
+    return COO(coords, data, shape)
+
+
+def test_dense_roundtrip_merges_duplicates():
+    coo = COO(np.array([[0, 0], [1, 1], [2, 2]]),
+              np.array([3.0, 4.0]), (2, 2, 3))
+    d = coo.todense()
+    assert d[0, 1, 2] == 7.0
+    assert d.sum() == 7.0
+
+
+def test_block_sum_equals_dense_blocks():
+    """Reference MBADataset._gene_test (MBADataset.py:187-199)."""
+    rng = np.random.default_rng(0)
+    coo = rand_coo(rng, (32, 32, 5), 200)
+    blk = coo.block_sum(8)
+    dense = coo.todense()
+    want = dense.reshape(4, 8, 4, 8, 5).sum((1, 3))
+    np.testing.assert_allclose(blk.todense(), want)
+
+
+def test_rot_flip_matches_dense():
+    """Reference MBADataset._trans_test_sp (MBADataset.py:172-185)."""
+    rng = np.random.default_rng(1)
+    coo = rand_coo(rng, (6, 4, 2), 15)
+    dense = coo.todense()
+    r = coo.rot90()
+    np.testing.assert_allclose(r.todense(), np.rot90(dense, 1, (0, 1)))
+    rr = coo.rot90().rot90().rot90().rot90()
+    np.testing.assert_allclose(rr.todense(), dense)
+    f = coo.flip_w()
+    np.testing.assert_allclose(f.todense(), dense[:, ::-1])
+
+
+def test_crop_pad_slice_channels():
+    rng = np.random.default_rng(2)
+    coo = rand_coo(rng, (16, 16, 10), 60)
+    dense = coo.todense()
+    c = coo.crop2d(4, 2, 8, 8)
+    np.testing.assert_allclose(c.todense(), dense[4:12, 2:10])
+    p = coo.pad_channels(3, 2)
+    np.testing.assert_allclose(p.todense()[:, :, 3:13], dense)
+    s = coo.slice_channels(2, 7)
+    np.testing.assert_allclose(s.todense(), dense[:, :, 2:7])
+    sp = coo.pad_spatial(2)
+    np.testing.assert_allclose(sp.todense()[2:18, 2:18], dense)
+
+
+def test_npz_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    coo = rand_coo(rng, (8, 8, 4), 20)
+    coo.save_npz(tmp_path / "t.npz")
+    back = COO.load_npz(tmp_path / "t.npz")
+    np.testing.assert_allclose(back.todense(), coo.todense())
+
+
+def test_lcg_reference_constants():
+    """lcg must match the reference exactly (MBADataset_tst.py:13) — the
+    whole-brain halo protocol depends on it."""
+    assert lcg(0) == 12345
+    assert lcg(1) == (1103515245 + 12345) % 2 ** 31
+    assert tile_seed(2, 3, 416) == lcg(2 * 416 + 3)
+
+
+def test_tile_noise_deterministic_and_torch_compatible():
+    a = tile_init_noise(5, 7, 416, (4, 4, 2), backend="torch")
+    b = tile_init_noise(5, 7, 416, (4, 4, 2), backend="torch")
+    np.testing.assert_array_equal(a, b)
+    # bit-exact with direct torch manual_seed + randn
+    import torch
+    g = torch.Generator().manual_seed(lcg(5 * 416 + 7))
+    want = torch.randn((4, 4, 2), generator=g).numpy()
+    np.testing.assert_array_equal(a, want)
+
+
+def test_synthetic_dataset_shapes_and_batching():
+    ds = SyntheticDataset(n=8, crop=64, gdim=8, gblk=16, snum=4,
+                          stain="all", pad_bins=1)
+    s = ds.sample(0)
+    assert s.image.shape == (64, 64, 4)
+    assert s.rna.shape == (6, 6, 32)
+    assert s.image.min() >= -1 and s.image.max() <= 1
+    bs = list(batches(ds, 4))
+    assert len(bs) == 2
+    assert bs[0]["image"].shape == (4, 64, 64, 4)
+    assert bs[0]["rna"].shape == (4, 6, 6, 32)
+    # determinism
+    s2 = ds.sample(0)
+    np.testing.assert_array_equal(s.image, s2.image)
+
+
+def test_spad_table():
+    """(50 + 2*spad) / (snum/2) - 1 must be integral (MBADataset.py:34-36)."""
+    for snum, spad in SPAD.items():
+        if snum in (None, 1):
+            continue
+        assert (50 + 2 * spad - snum) % (snum // 2) == 0
