@@ -1,0 +1,60 @@
+"""Feature-extraction + morphology tests (CPU-only numpy paths)."""
+
+import numpy as np
+
+from tera_mind_tpu.metrics.features import (PoolFeatures, collect_moments,
+                                            d_fid_between_stores)
+from tera_mind_tpu.metrics.morphology import nuclei_stats
+
+
+def blobs(rng, n, intensity=1.0):
+    tiles = []
+    for _ in range(n):
+        img = np.zeros((64, 64), np.float32)
+        for _ in range(5):
+            cy, cx = rng.integers(8, 56, 2)
+            y, x = np.mgrid[0:64, 0:64]
+            img += intensity * np.exp(-((y - cy) ** 2 + (x - cx) ** 2) / 18)
+        tiles.append(np.clip(img, 0, 1))
+    return tiles
+
+
+def test_pool_features_shape_and_determinism():
+    rng = np.random.default_rng(0)
+    ex = PoolFeatures(grid=4)
+    t = np.stack(blobs(rng, 3))
+    f1, f2 = ex(t), ex(t)
+    assert f1.shape == (3, 4 * 4 * 4)
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_d_fid_same_distribution_small():
+    rng = np.random.default_rng(1)
+    a = blobs(rng, 60)
+    b = blobs(rng, 60)
+    c = blobs(rng, 60, intensity=0.3)
+    same = d_fid_between_stores(a, b)
+    diff = d_fid_between_stores(a, c)
+    assert diff > 5 * max(same, 1e-6)
+
+
+def test_masked_collection_skips_empty():
+    rng = np.random.default_rng(2)
+    tiles = blobs(rng, 10) + [np.zeros((64, 64), np.float32)] * 5
+    ex = PoolFeatures(grid=4)
+    sm = collect_moments(tiles, ex, mask_fn=lambda t: t.sum() > 0)
+    assert sm.n == 10
+
+
+def test_nuclei_stats_counts_blobs():
+    rng = np.random.default_rng(3)
+    img = np.zeros((96, 96), np.float32)
+    centers = [(20, 20), (20, 70), (70, 20), (70, 70), (45, 45)]
+    for cy, cx in centers:
+        y, x = np.mgrid[0:96, 0:96]
+        img += np.exp(-((y - cy) ** 2 + (x - cx) ** 2) / 12)
+    st = nuclei_stats(img, use_cellpose=False)
+    assert st.count == 5
+    assert (st.sizes > 5).all()
+    s = st.summary()
+    assert s["count"] == 5 and s["size_mean"] > 0
