@@ -39,7 +39,9 @@ def main():
 
     gconf = GeneratorConfig(tile=256, patch=64, gn_blk=16, snum=4,
                             n_slices=50, stains=2, gdim=500,
-                            noise_backend="jax")
+                            noise_backend="jax",
+                            window_chunk=int(os.environ.get(
+                                "BENCH_WINDOW_CHUNK", "5")))
     sampler = DiffusionSampler(
         conf.make_eval_sampler(T=steps).schedule,
         SamplerConfig(patch_size=64, gn_sz=4))

@@ -105,7 +105,8 @@ def main():
     gconf = GeneratorConfig(tile=256, patch=conf.image_size, gn_blk=16,
                             snum=conf.rna_slices, n_slices=50, stains=2
                             if conf.stain == "all" else 1, gdim=500,
-                            noise_backend=args.seed_backend)
+                            noise_backend=args.seed_backend,
+                            window_chunk=5)
 
     # ---- parameters
     rng = jax.random.PRNGKey(0)

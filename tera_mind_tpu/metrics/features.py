@@ -48,14 +48,17 @@ class PoolFeatures:
             x = x.mean(-1)
         b, h, w = x.shape
         g = self.grid
+        def cell_mean(v):
+            return v.reshape(b, g, h // g, g, w // g).mean((2, 4))
+
         cells = x.reshape(b, g, h // g, g, w // g)
         mean = cells.mean((2, 4))
         std = cells.std((2, 4))
-        gy = np.abs(np.diff(x, axis=1)).reshape(
-            b, g, -1, w).mean((2, 3))[:, :, None] * np.ones((1, 1, g))
-        gx = np.abs(np.diff(x, axis=2)).reshape(
-            b, h, g, -1).mean((1, 3))[:, None, :] * np.ones((1, g, 1))
-        feats = np.stack([mean, std, gy, gx], -1)
+        gy = np.zeros_like(x)
+        gy[:, 1:, :] = np.abs(np.diff(x, axis=1))
+        gx = np.zeros_like(x)
+        gx[:, :, 1:] = np.abs(np.diff(x, axis=2))
+        feats = np.stack([mean, std, cell_mean(gy), cell_mean(gx)], -1)
         return feats.reshape(b, -1)
 
 

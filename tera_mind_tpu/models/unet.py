@@ -48,6 +48,7 @@ class TeraUNetConfig:
     rna_num: int = 500
     gn_sz: int = 4                # gene bins per patch side
     use_pos: bool = False
+    use_zero_module: bool = True  # zero-init residual out-convs
     dtype_name: str = "float32"   # compute dtype: float32 | bfloat16
 
     @property
@@ -136,6 +137,7 @@ class TeraUNet(nn.Module):
                 # level's first block (unet_ours.py:166-190)
                 h = ResBlock3D(out_channels=h.shape[-1], down=True,
                                dropout=conf.dropout,
+                               use_zero_module=conf.use_zero_module,
                                compute_dtype=dt, name=f"enc_{k}_res")(
                                    h, emb_orig, deterministic=deterministic)
                 resolution //= 2
@@ -146,6 +148,7 @@ class TeraUNet(nn.Module):
                 h = jnp.concatenate([h, rfeat], axis=-1)
                 h = ResBlock3D(out_channels=mult * conf.model_channels,
                                dropout=conf.dropout, compute_dtype=dt,
+                               use_zero_module=conf.use_zero_module,
                                name=f"enc_{k}_res")(
                                    h, emb_orig, deterministic=deterministic)
                 if resolution in conf.attention_resolutions:
@@ -159,11 +162,13 @@ class TeraUNet(nn.Module):
         h = jnp.concatenate([h, rna_feats[0]], axis=-1)
         h = ResBlock3D(out_channels=h.shape[-1] - rna_och[0],
                        dropout=conf.dropout, compute_dtype=dt,
+                       use_zero_module=conf.use_zero_module,
                        name="mid_res0")(h, emb_orig,
                                         deterministic=deterministic)
         h = DiTBlock(hidden_size=h.shape[-1], num_heads=conf.num_heads,
                      n_win=2, dtype=dt, name="mid_attn")(h, rna_feats[0])
         h = ResBlock3D(out_channels=h.shape[-1], dropout=conf.dropout,
+                       use_zero_module=conf.use_zero_module,
                        compute_dtype=dt, name="mid_res1")(
                            h, emb_orig, deterministic=deterministic)
 
@@ -181,6 +186,7 @@ class TeraUNet(nn.Module):
                 dec_res.append(ResBlock3D(
                     out_channels=mult * conf.model_channels,
                     dropout=conf.dropout, compute_dtype=dt,
+                    use_zero_module=conf.use_zero_module,
                     name=f"dec_{k}_res"))
                 dec_attn.append(DiTBlock(
                     hidden_size=mult * conf.model_channels,
@@ -191,6 +197,7 @@ class TeraUNet(nn.Module):
                     dec_up.append(ResBlock3D(
                         out_channels=mult * conf.model_channels, up=True,
                         dropout=conf.dropout, compute_dtype=dt,
+                        use_zero_module=conf.use_zero_module,
                         name=f"dec_{k}_up"))
                     res *= 2
                 else:

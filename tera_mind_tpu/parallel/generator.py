@@ -47,6 +47,9 @@ class GeneratorConfig:
     stains: int = 2
     gdim: int = 500            # gene panel carried in the gene stack
     noise_backend: str = "torch"  # LCG parity by default
+    window_chunk: int = 0      # z-windows per model call (0 = all at once);
+                               # bounds activation memory: each window is a
+                               # (patches_per_tile)-patch UNet batch
 
     @property
     def pad(self) -> int:
@@ -153,10 +156,28 @@ class TeraGenerator:
                 for w in range(c.n_win)]
         rna = jnp.stack(wins)  # (n_win, gsz, gsz, snum, G)
         rna = rna.reshape(c.n_win, c.gsz, c.gsz, c.snum * g.shape[-1])
-        rna_pat = patchify(rna, c.patch // c.gn_blk)
 
-        t_b = jnp.full((c.n_win,), t, jnp.int32)
-        out = self.sampler.denoise_step(self.model_fn, x, rna_pat, t_b)
+        chunk = self.conf.window_chunk or c.n_win
+        assert c.n_win % chunk == 0, (c.n_win, chunk)
+        if chunk == c.n_win:
+            rna_pat = patchify(rna, c.patch // c.gn_blk)
+            t_b = jnp.full((c.n_win,), t, jnp.int32)
+            out = self.sampler.denoise_step(self.model_fn, x, rna_pat, t_b)
+        else:
+            # bound activation memory: scan over groups of z-windows
+            xc = x.reshape(c.n_win // chunk, chunk, *x.shape[1:])
+            rc = rna.reshape(c.n_win // chunk, chunk, *rna.shape[1:])
+            t_b = jnp.full((chunk,), t, jnp.int32)
+
+            def wbody(carry, xs):
+                xw, rw = xs
+                rp = patchify(rw, c.patch // c.gn_blk)
+                return carry, self.sampler.denoise_step(
+                    self.model_fn, xw, rp, t_b)
+
+            _, outs = lax.scan(wbody, 0, (xc, rc))
+            out = outs.reshape(c.n_win, c.tile, c.tile,
+                               c.stains * c.zi)
         # (n_win, 256, 256, s*zi) -> (256, 256, chn)
         out = out.reshape(c.n_win, c.tile, c.tile, c.stains, c.zi)
         out = out.transpose(1, 2, 3, 0, 4).reshape(c.tile, c.tile, c.channels)

@@ -56,3 +56,22 @@ def multihost_init(coordinator: Optional[str] = None,
 def is_primary() -> bool:
     """Rank-0 gate for host-side IO (reference gpu_id==0 checks)."""
     return jax.process_index() == 0
+
+
+def host_barrier(name: str = "barrier") -> None:
+    """Cross-host sync point (replaces torch.distributed.barrier,
+    utils/dist_utils.py:5-15).  No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
+def host_broadcast(value, root: int = 0):
+    """Broadcast a host value from process `root` to all processes
+    (replaces dist broadcast, utils/dist_utils.py:18-24)."""
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+    return multihost_utils.broadcast_one_to_all(
+        value, is_source=jax.process_index() == root)

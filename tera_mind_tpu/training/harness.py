@@ -175,6 +175,44 @@ class Trainer:
         import orbax.checkpoint as ocp
         return mgr.restore(step, args=ocp.args.StandardRestore(state_like))
 
+    # ---------------- in-training sampling preview ----------------
+    def preview(self, state: TrainState, batch: dict, out_dir: str,
+                step: int, rng: Optional[jax.Array] = None) -> str:
+        """Periodic DDIM sample grid on the current batch's gene maps
+        (reference log_sample/gen_sample, experiment.py:293-392): generate
+        the full crop with the 15-step eval sampler, save real|gen jpgs."""
+        import numpy as np
+        from PIL import Image
+
+        conf = self.conf
+        rng = rng if rng is not None else jax.random.PRNGKey(step)
+        img = jnp.asarray(batch["image"][: conf.sample_size])
+        rna = jnp.asarray(batch["rna"][: conf.sample_size])
+        b, H, W, C = img.shape
+        ps = conf.image_size
+        params = state.ema_params if (self.ema and state.ema_params
+                                      is not None) else state.params
+
+        def model_fn(xp, tm, rp, p1, p2):
+            return self.model.apply(params, xp, tm, rp, p1, p2)
+
+        from ..ops.collage import patchify
+        gn = conf.gn_sz
+        rna_pat = patchify(rna, gn)  # padded grid covers (H+ps, W+ps)
+        noise = jax.random.normal(rng, img.shape, jnp.float32)
+        gen = self.eval_sampler.sample(model_fn, noise, rna_pat)
+
+        grid = jnp.concatenate([img, gen], axis=2)  # real | generated
+        arr = np.asarray(jnp.clip((grid + 1) * 127.5, 0, 255)).astype(
+            np.uint8)
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        path = out / f"{step}_DDIM.jpg"
+        # first channel of each stain side by side vertically per sample
+        panels = [arr[i, :, :, 0] for i in range(arr.shape[0])]
+        Image.fromarray(np.concatenate(panels, axis=0)).save(path)
+        return str(path)
+
     # ---------------- the loop ----------------
     def fit(self, batch_iter: Iterator[dict], *, max_steps: int,
             log_every: int = 50, state: Optional[TrainState] = None,
@@ -215,4 +253,8 @@ class Trainer:
                 t0 = time.time()
             if step % conf.save_every_steps == 0:
                 self.save(state)
+            if sample_dir and (step == 1
+                               or step % conf.sample_every_steps == 0):
+                p = self.preview(state, batch, sample_dir, step)
+                print(f"sample grid -> {p}", flush=True)
         return state
