@@ -50,7 +50,8 @@ def main():
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((4, 64, 64, conf.in_channels))
     rna = jnp.zeros((4, 4, 4, conf.rna_slices * 500))
-    params = model.init(rng, x, jnp.zeros((1,), jnp.int32), rna, 2, 2)
+    params = jax.jit(lambda k: model.init(
+        k, x, jnp.zeros((1,), jnp.int32), rna, 2, 2))(rng)
 
     def model_fn(xp, tm, rp, p1, p2):
         return model.apply(params, xp, tm, rp, p1, p2)
@@ -62,9 +63,11 @@ def main():
                          gconf.gdim)) < 0.01).astype(np.uint8)
     state = gen.init_state(rows, cols)
 
-    step = gen.compile_step(rows, cols)
     dev_state = jnp.asarray(state)
     dev_gene = jnp.asarray(gene)
+
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    step = gen.compile_step(rows, cols) if fused else gen.compile_pieces()
 
     # warmup/compile
     out = step(dev_state, dev_gene, jnp.int32(steps - 1))

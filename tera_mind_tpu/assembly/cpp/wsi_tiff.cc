@@ -11,8 +11,10 @@
 //   - one IFD per pyramid level, chained; level 0 full-res, deeper levels
 //     flagged NewSubfileType=1 (reduced-resolution), the layout QuPath and
 //     bioformats read natively
-//   - 256x256 tiles, grayscale 8-bit, zlib/deflate compression
-//     (COMPRESSION_ADOBE_DEFLATE=8), raw (=1) also supported
+//   - 256x256 tiles, grayscale 8-bit; compression: raw (=1), zlib/deflate
+//     (COMPRESSION_ADOBE_DEFLATE=8), or per-tile JPEG streams
+//     (COMPRESSION_JPEG=7, libjpeg; the reference's pyvips default uses
+//     jpeg-in-tiff the same way, infer_brn.py:84-88)
 //   - OME-XML in ImageDescription of IFD 0
 //
 // Streaming: tile data is appended as it arrives (any order); IFDs and
@@ -21,7 +23,7 @@
 //
 // Exposed as a C ABI for Python ctypes (no pybind11 in the image).
 //
-// Build: g++ -O2 -shared -fPIC -o libwsitiff.so wsi_tiff.cc -lz
+// Build: g++ -O2 -shared -fPIC -o libwsitiff.so wsi_tiff.cc -lz -ljpeg
 
 #include <cstdint>
 #include <cstdio>
@@ -29,6 +31,7 @@
 #include <cstring>
 #include <string>
 #include <vector>
+#include <jpeglib.h>
 #include <zlib.h>
 
 namespace {
@@ -106,6 +109,35 @@ std::vector<uint8_t> deflate_tile(const uint8_t* data, size_t n, int level) {
   std::vector<uint8_t> out(cap);
   if (compress2(out.data(), &cap, data, n, level) != Z_OK) return {};
   out.resize(cap);
+  return out;
+}
+
+// One complete grayscale JPEG stream per tile (TIFF compression 7 stores a
+// standalone JPEG per tile).
+std::vector<uint8_t> jpeg_tile(const uint8_t* data, uint32_t w, uint32_t h,
+                               int quality) {
+  jpeg_compress_struct cinfo;
+  jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_compress(&cinfo);
+  unsigned char* mem = nullptr;
+  unsigned long sz = 0;
+  jpeg_mem_dest(&cinfo, &mem, &sz);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 1;
+  cinfo.in_color_space = JCS_GRAYSCALE;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < h) {
+    JSAMPROW row = (JSAMPROW)(data + (size_t)cinfo.next_scanline * w);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  std::vector<uint8_t> out(mem, mem + sz);
+  free(mem);
   return out;
 }
 
@@ -212,6 +244,11 @@ int wsi_write_tile(void* h, int level, uint32_t tx, uint32_t ty,
     if (comp.empty()) return -3;
     payload = comp.data();
     nbytes = comp.size();
+  } else if (w->compression == 7) {
+    comp = jpeg_tile(data, w->tile, w->tile, w->zlevel);  // zlevel = quality
+    if (comp.empty()) return -3;
+    payload = comp.data();
+    nbytes = comp.size();
   }
   size_t idx = (size_t)ty * lv.tiles_x + tx;
   lv.offsets[idx] = w->pos;
@@ -235,6 +272,12 @@ int wsi_close(void* h) {
           if (blank_off == 0) {
             if (w->compression == 8) {
               auto comp = deflate_tile(blank.data(), n, w->zlevel);
+              blank_off = w->pos;
+              blank_len = comp.size();
+              w->append(comp.data(), comp.size());
+            } else if (w->compression == 7) {
+              auto comp = jpeg_tile(blank.data(), w->tile, w->tile,
+                                    w->zlevel);
               blank_off = w->pos;
               blank_len = comp.size();
               w->append(comp.data(), comp.size());

@@ -26,10 +26,11 @@ def _lib() -> ctypes.CDLL:
     global _LIB
     if _LIB is None:
         so = _CPP_DIR / "libwsitiff.so"
-        if not so.exists():
+        src = _CPP_DIR / "wsi_tiff.cc"
+        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
             subprocess.run(
                 ["g++", "-O2", "-shared", "-fPIC", "-o", str(so),
-                 str(_CPP_DIR / "wsi_tiff.cc"), "-lz"], check=True)
+                 str(src), "-lz", "-ljpeg"], check=True)
         lib = ctypes.CDLL(str(so))
         lib.wsi_open.restype = ctypes.c_void_p
         lib.wsi_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
@@ -73,17 +74,20 @@ class WsiWriter:
     def __init__(self, path: str | Path, width: int, height: int, *,
                  tile: int = 256, levels: Optional[int] = None,
                  compression: str = "deflate", zlevel: int = 6,
+                 quality: int = 90,
                  description: Optional[str] = None):
         self.tile = tile
         self.width, self.height = width, height
         if levels is None:
             levels = 1
             w, h = width, height
-            while max(w, h) > 2 * tile:
+            while max(w, h) > tile:
                 w, h = (w + 1) // 2, (h + 1) // 2
                 levels += 1
         self.levels = levels
-        comp = {"none": 1, "deflate": 8}[compression]
+        comp = {"none": 1, "jpeg": 7, "deflate": 8}[compression]
+        if compression == "jpeg":
+            zlevel = quality  # the native writer reuses the level slot
         desc = description if description is not None \
             else ome_xml(width, height)
         self._h = _lib().wsi_open(str(path).encode(), width, height, tile,

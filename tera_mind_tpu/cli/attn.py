@@ -101,7 +101,8 @@ def _calc(args, conf):
                                       conf.make_model_conf())
         params = extractor_params_from_unet(uparams)
     else:
-        params = ext.init(jax.random.PRNGKey(0), rna0)
+        params = jax.jit(lambda k: ext.init(k, rna0))(
+            jax.random.PRNGKey(0))
         print("WARNING: random-init attention weights", flush=True)
 
     apply = jax.jit(lambda r: ext.apply(params, r))
@@ -178,7 +179,57 @@ def _vis(args, conf):
             fig.savefig(odir / f"group{grp}_ch{ch}.png",
                         bbox_inches="tight", dpi=150)
             plt.close(fig)
-    print(f"heatmaps -> {odir}", flush=True)
+
+    # attention-vs-expression joint regression plots (reference
+    # draw_attplot, test_attn.py:166-238): for each pathway gene, scatter
+    # the attention-weighted map against the raw expression with a
+    # regression fit.
+    k = k2 // 2
+    ens = n_groups - 1
+    for ch in range(k):
+        att_v, exp_v = [], []
+        for tile in tiles.values():
+            att_v.append(tile[ens, :, :, ch].reshape(-1))
+            exp_v.append(tile[ens, :, :, k + ch].reshape(-1))
+        a = np.concatenate(att_v).astype(np.float64)
+        e = np.concatenate(exp_v).astype(np.float64)
+        sel = (a != 0) | (e != 0)
+        a, e = a[sel], e[sel]
+        fig, ax = plt.subplots(figsize=(5, 5))
+        ax.scatter(e, a, s=2, alpha=0.3, color="#4477aa")
+        if len(e) > 2 and e.std() > 0:
+            coef = np.polyfit(e, a, 1)
+            xs = np.linspace(e.min(), e.max(), 50)
+            rho = float(np.corrcoef(e, a)[0, 1])
+            ax.plot(xs, np.polyval(coef, xs), color="#cc3311",
+                    label=f"r={rho:.3f}")
+            ax.legend()
+        ax.set_xlabel("expression")
+        ax.set_ylabel("attention-weighted")
+        fig.savefig(odir / f"joint_ch{ch}.png", bbox_inches="tight", dpi=150)
+        plt.close(fig)
+
+    # 3D surface of the ensemble attention map (reference 3D surface plots,
+    # test_attn.py:240-308)
+    for ch in range(min(k, 4)):
+        rows = sorted({n.split("_")[0] for n in names}, key=int)
+        cols = sorted({n.split("_")[2] for n in names}, key=int)
+        canvas = np.zeros((len(rows) * gh, len(cols) * gw), np.float32)
+        for n, tile in tiles.items():
+            r = rows.index(n.split("_")[0])
+            c = cols.index(n.split("_")[2])
+            canvas[r * gh:(r + 1) * gh, c * gw:(c + 1) * gw] = \
+                tile[ens, :, :, ch]
+        fig = plt.figure(figsize=(6, 5))
+        ax3 = fig.add_subplot(projection="3d")
+        yy, xx = np.mgrid[0:canvas.shape[0], 0:canvas.shape[1]]
+        ax3.plot_surface(xx, yy, canvas, cmap="magma",
+                         rstride=max(1, canvas.shape[0] // 64),
+                         cstride=max(1, canvas.shape[1] // 64))
+        fig.savefig(odir / f"surface_ch{ch}.png", bbox_inches="tight",
+                    dpi=120)
+        plt.close(fig)
+    print(f"heatmaps/joint/surface -> {odir}", flush=True)
 
 
 if __name__ == "__main__":

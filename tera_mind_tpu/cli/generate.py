@@ -85,6 +85,13 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--seed_backend", default="torch",
                     choices=("torch", "jax"))
+    ap.add_argument("--stream", action="store_true",
+                    help="host-resident state, block-streamed through the "
+                    "device (grids larger than HBM; parallel/streaming.py)")
+    ap.add_argument("--stream_block", type=int, default=2,
+                    help="tiles per streamed device window (per side)")
+    ap.add_argument("--stream_memmap", type=str, default=None,
+                    help="disk-back the host state (beyond-RAM grids)")
     args = ap.parse_args()
 
     import jax
@@ -120,7 +127,7 @@ def main():
         params = convert_unet_params(sd, conf.make_model_conf())
         print("converted torch checkpoint", flush=True)
     else:
-        params = model.init(rng, x0, t0, r0, 2, 2)
+        params = jax.jit(lambda k: model.init(k, x0, t0, r0, 2, 2))(rng)
         print("WARNING: random init (no checkpoint)", flush=True)
 
     def model_fn(xp, tm, rp, p1, p2):
@@ -152,8 +159,18 @@ def main():
                     gdir / nm, gblk=16, gdim=500, spad=gconf.spad)
 
     ck = StateCheckpoint(f"{args.out_dir}_state")
-    out = gen.run(gene, row0=row0, col0=col0, grid_w=416,
-                  checkpoint=ck, checkpoint_every=args.ckpt_every)
+    if args.stream:
+        from ..parallel.streaming import StreamConfig, StreamingGenerator
+        sgen = StreamingGenerator(gen, StreamConfig(
+            block_rows=args.stream_block, block_cols=args.stream_block,
+            checkpoint_every=args.ckpt_every,
+            memmap_dir=args.stream_memmap))
+        hstate = sgen.run(rows, cols, gene, row0=row0, col0=col0,
+                          grid_w=416, checkpoint=ck)
+        out = np.asarray(hstate.read)
+    else:
+        out = gen.run(gene, row0=row0, col0=col0, grid_w=416,
+                      checkpoint=ck, checkpoint_every=args.ckpt_every)
 
     # ---- final tiles + preview
     store = TileStore(args.out_dir).create()

@@ -60,8 +60,11 @@ def main():
     max_steps = args.max_steps or conf.total_samples
 
     def epochs():
+        # the loader yields EFFECTIVE batches (batch * accum samples); the
+        # harness scans them as accum microbatches of `batch` samples each
+        # (reference accumulate_grad_batches semantics, config.py:172-174)
         while True:
-            yield from batches(ds, conf.batch_size)
+            yield from batches(ds, conf.batch_size_effective)
 
     trainer.fit(epochs(), max_steps=max_steps)
 

@@ -69,6 +69,9 @@ class TrainConfig:
 
     # runtime (TPU)
     compute_dtype: str = "bfloat16"   # model compute dtype
+    remat: bool = False               # activation checkpointing of the UNet
+                                      # fwd (reference use_checkpoint,
+                                      # config.py:101, off by default)
     mesh_shape: Tuple[int, ...] = (-1,)  # dp mesh by default
     prefetch_depth: int = 2
     sample_every_steps: int = 2500
@@ -106,7 +109,40 @@ class TrainConfig:
         return self.batch_size * self.accum_batches
 
     # ---- factories -----------------------------------------------------
-    def make_model_conf(self) -> TeraUNetConfig:
+    def make_model_conf(self):
+        """Model config by ``method`` (reference config.py:281-291):
+        'ours'/'ours_vis' -> TeraUNet, 'patch-dm' -> PatchDMUNet,
+        'sinf' -> SinfNet."""
+        if self.method == "patch-dm":
+            from .models.unet_patch_dm import PatchDMUNetConfig
+            return PatchDMUNetConfig(
+                image_size=self.image_size,
+                in_channels=self.in_channels,
+                out_channels=self.in_channels,
+                model_channels=self.net_ch,
+                num_res_blocks=self.net_num_res_blocks,
+                embed_channels=self.embed_channels,
+                attention_resolutions=tuple(self.net_attn),
+                dropout=self.dropout,
+                channel_mult=tuple(self.net_ch_mult),
+                rna_tpl=self.rna_tpl,
+                rna_num=self.rna_num,
+                gn_sz=self.gn_sz,
+                use_pos=True,
+                dtype_name=self.compute_dtype,
+            )
+        if self.method == "sinf":
+            from .models.unet_sinf import SinfNetConfig
+            return SinfNetConfig(
+                image_size=self.image_size,
+                in_channels=self.in_channels,
+                out_channels=self.in_channels,
+                model_channels=self.net_ch,
+                rna_tpl=self.rna_tpl,
+                rna_num=self.rna_num,
+                gn_sz=self.gn_sz,
+                dtype_name=self.compute_dtype,
+            )
         return TeraUNetConfig(
             image_size=self.image_size,
             in_channels=self.in_channels,

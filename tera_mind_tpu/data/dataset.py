@@ -36,6 +36,24 @@ class Sample:
     rna: np.ndarray     # (gh+2*pad, gw+2*pad, snum*G) dense float32
 
 
+def load_tile_image(path: str | Path):
+    """Open a (100, H, W) tile image, lazily sliceable.
+
+    Supports the reference's per-tile zarr ``.zip`` (MBADataset.py:100-102,
+    read via tensorstore's zip kvstore — zarr-python isn't in this image),
+    plain zarr directories, and ``.npy`` memmaps.
+    """
+    p = str(path)
+    if p.endswith(".npy"):
+        return np.load(p, mmap_mode="r")
+    import tensorstore as ts
+    if p.endswith(".zip"):
+        kv = {"driver": "zip", "base": {"driver": "file", "path": p}}
+    else:
+        kv = {"driver": "file", "path": p}
+    return ts.open({"driver": "zarr", "kvstore": kv}).result()
+
+
 class MerfishTrainDataset:
     """Iterates training crops from per-tile gene ``.npz`` + image arrays.
 
@@ -65,8 +83,14 @@ class MerfishTrainDataset:
         return len(self.paths)
 
     def _image_path(self, gene_path: Path) -> Path:
-        return Path(str(gene_path).replace("gene", "img")
-                    .replace(".npz", ".npy"))
+        """gene -> img naming (reference MBADataset.py:100-101); prefers the
+        reference's zarr ``.zip`` when present, else ``.npy``."""
+        base = str(gene_path).replace("gene", "img")
+        for ext in (".zip", ".zarr", ".npy"):
+            p = Path(base.replace(".npz", ext))
+            if p.exists():
+                return p
+        return Path(base.replace(".npz", ".npy"))
 
     def sample(self, idx: int) -> Sample:
         rng = self.rng
@@ -84,7 +108,7 @@ class MerfishTrainDataset:
             gn = gn.pad_channels(self.spad * self.gdim, self.spad * self.gdim)
         gn = gn.slice_channels(snm * self.gdim, (snm + self.snum) * self.gdim)
 
-        img = np.load(self._image_path(self.paths[idx]), mmap_mode="r")
+        img = load_tile_image(self._image_path(self.paths[idx]))
         img = np.asarray(img[:, top:top + self.crop, left:left + self.crop],
                          dtype=np.float32)
         img = img.reshape(2, self.zmax, self.crop, self.crop)

@@ -106,11 +106,15 @@ class DiffusionSampler:
     # ------------------------------------------------------------------ #
     def sample(self, model: ModelFn, noise: jnp.ndarray,
                rna_pat: jnp.ndarray, *,
-               rng: Optional[jax.Array] = None) -> jnp.ndarray:
+               rng: Optional[jax.Array] = None,
+               mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Generate from pure noise.
 
         noise:   (B, H, W, C) initial x_T for the unpadded region
         rna_pat: per-patch gene grids covering the PADDED (H+ps, W+ps) grid
+        mask:    optional (B, H, W, 1|C) 0/1 gene-coverage mask; after every
+                 reverse step masked-out pixels are pinned to -1 (background),
+                 the reference's ``rna_msk`` path (base.py:592, 629-630)
         Returns (B, H, W, C) in [-1, 1].
         """
         ps = self.conf.patch_size
@@ -125,6 +129,8 @@ class DiffusionSampler:
             x_pad = jnp.pad(img, ((0, 0), (half, half), (half, half), (0, 0)))
             step_rng = jax.random.fold_in(rng, step)
             img = self.denoise_step(model, x_pad, rna_pat, t, rng=step_rng)
+            if mask is not None:
+                img = img * mask + mask - 1.0
             return img, ()
 
         steps = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)

@@ -12,12 +12,19 @@ that form directly.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .nn import Mlp, RMSNorm, modulate
+
+
+def _default_attn_backend() -> str:
+    """'pallas' -> fused VMEM-resident kernel (ops/attention_kernel.py);
+    'xla' -> einsum path (XLA fuses it).  Opt in via TMT_PALLAS_ATTN=1."""
+    return "pallas" if os.environ.get("TMT_PALLAS_ATTN") == "1" else "xla"
 
 
 def _window_fold(t: jnp.ndarray, z: int, n_win: int) -> jnp.ndarray:
@@ -56,6 +63,7 @@ class CrossAttention(nn.Module):
     num_heads: int = 1
     n_win: Optional[int] = None  # spatial window grid per side (e.g. 2)
     dtype: jnp.dtype = jnp.float32
+    backend: Optional[str] = None  # 'xla' | 'pallas' (None -> env default)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: Optional[jnp.ndarray],
@@ -77,10 +85,20 @@ class CrossAttention(nn.Module):
         q = RMSNorm(name="q_norm")(q)
         k = RMSNorm(name="k_norm")(k)
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) / hd
-        attn = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        backend = self.backend or _default_attn_backend()
+        if backend == "pallas":
+            from ..ops.attention_kernel import fused_attention
+            bh, nn_, dd = q.shape[0] * q.shape[1], q.shape[2], q.shape[3]
+            out = fused_attention(q.reshape(bh, nn_, dd),
+                                  k.reshape(bh, nn_, dd),
+                                  v.reshape(bh, nn_, dd), 1.0 / hd)
+            out = out.reshape(q.shape)
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) / hd
+            attn = nn.softmax(logits.astype(jnp.float32),
+                              axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         if self.n_win is not None:
             out = _window_unfold(out, z_size, self.n_win, nh)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)

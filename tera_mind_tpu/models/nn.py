@@ -119,6 +119,67 @@ def conv3d(features: int, kernel: Sequence[int], *,
                    param_dtype=param_dtype, name=name)
 
 
+class EquiGroupNorm(nn.Module):
+    """Sliding-window shift-equivariant GroupNorm (reference model/nn.py:26-86,
+    present-but-disabled there; provided for capability parity).
+
+    Instead of whole-image group statistics, each pixel is normalized by the
+    mean/var of its group channels over a ``ksize`` x ``ksize`` spatial window
+    centred on it (computed via average pooling).  With ``pad == (ksize-1)//2``
+    the output has the input's spatial shape and the op commutes with
+    translations — useful for seamless patch stitching.
+
+    Input is channels-last ``(..., H, W, C)``; stats are float32.
+    """
+
+    num_groups: int
+    ksize: Optional[int] = None   # None -> plain GroupNorm semantics
+    pad: int = 0
+    eps: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, (c, g)
+        cg = c // g
+        dtype = x.dtype
+        lead = x.shape[:-3]
+        h, w = x.shape[-3], x.shape[-2]
+        xf = x.astype(jnp.float32).reshape((-1, h, w, g, cg))
+
+        if self.ksize is None:
+            mean = xf.mean(axis=(1, 2, 4), keepdims=True)
+            var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+            y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        else:
+            k, p = self.ksize, self.pad
+            exl = (k - 1) // 2
+            xp = jnp.pad(xf, ((0, 0), (p, p), (p, p), (0, 0), (0, 0)))
+
+            def win_mean(a):
+                # mean over (k x k spatial, all group channels), stride 1
+                s = jax.lax.reduce_window(
+                    a, 0.0, jax.lax.add,
+                    window_dimensions=(1, k, k, 1, cg),
+                    window_strides=(1, 1, 1, 1, 1),
+                    padding="VALID")
+                return s / (k * k * cg)
+
+            mean = win_mean(xp)              # (B, H', W', g, 1)
+            var = win_mean(xp * xp) - mean * mean
+            xc = xp[:, exl:-exl, exl:-exl] if exl else xp
+            y = (xc - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + self.eps)
+
+        y = y.reshape(lead + y.shape[1:3] + (c,))
+        if self.affine:
+            weight = self.param("weight", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            y = y * weight + bias
+        return y.astype(dtype)
+
+
 def upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor 2x spatial upsample of (B, Z, H, W, C); z untouched.
 

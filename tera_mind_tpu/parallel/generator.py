@@ -205,6 +205,29 @@ class TeraGenerator:
             rows * c.tile, cols * c.tile, c.channels)
         return new
 
+    def compile_pieces(self):
+        """Piece-wise jitted step (single device): one small pad graph +
+        one per-tile graph.  Avoids compiling the tile-scan megagraph —
+        useful when the compile service chokes on the fused program; the
+        python tile loop adds only dispatch overhead (~us) per tile."""
+        c = self.conf
+
+        pad_fn = jax.jit(lambda s: pad_halo_single(s, c.pad, fill=-1.0))
+        tile_fn = jax.jit(self._tile_update)
+
+        def step(state, gene, t):
+            rows, cols = gene.shape[:2]
+            padded = pad_fn(state)
+            out_rows = []
+            for r in range(rows):
+                row_tiles = [tile_fn(padded, gene[r, cc], jnp.int32(r),
+                                     jnp.int32(cc), t)
+                             for cc in range(cols)]
+                out_rows.append(jnp.concatenate(row_tiles, axis=1))
+            return jnp.concatenate(out_rows, axis=0)
+
+        return step
+
     def compile_step(self, rows: int, cols: int):
         """Build the jitted per-step function for a fixed grid shape."""
         sharded = self.mesh is not None and np.prod(self.mesh.devices.shape) > 1
@@ -229,7 +252,7 @@ class TeraGenerator:
             grid_w: int = 416, state: Optional[np.ndarray] = None,
             start_t: Optional[int] = None,
             checkpoint: Optional[StateCheckpoint] = None,
-            checkpoint_every: int = 0,
+            checkpoint_every: int = 0, fused: bool = True,
             progress: bool = True) -> np.ndarray:
         """Generate the (rows x cols) tile grid; returns the final image.
 
@@ -253,7 +276,8 @@ class TeraGenerator:
         if start_t is None:
             start_t = T
 
-        step = self.compile_step(rows, cols)
+        step = self.compile_step(rows, cols) if fused \
+            else self.compile_pieces()
         dev_state = jnp.asarray(state)
         dev_gene = jnp.asarray(gene_grid)
         for t in range(start_t - 1, -1, -1):

@@ -1,0 +1,235 @@
+"""Host-streaming whole-brain generation: state larger than HBM.
+
+The in-HBM :class:`~tera_mind_tpu.parallel.generator.TeraGenerator` holds
+the full tile-grid state on device — right for ROIs and for a multi-chip
+mesh where the 286x414-tile brain shards to ~24 GB/host (SURVEY.md 7.3#5).
+This module covers the complementary regime: a brain whose state exceeds
+device (or even host-RAM) capacity on the available chips.
+
+Design (timestep-major, like the reference's disk protocol
+test_brn.py:232-273, but block- instead of tile-granular and with the time
+loop's working set in host memory, not thousands of zarr files):
+
+- Double-buffered host state (read = timestep t, write = t+1), plain numpy
+  or disk-backed ``np.memmap`` — the same two-generation discipline as the
+  reference's ``{out_dir}_{t}`` directories, so halos always read the
+  previous timestep regardless of sweep order.
+- Per timestep, sweep the grid in fixed (block_rows x block_cols)-tile
+  windows.  The host assembles each window plus its halo from the read
+  buffer (grid border filled with -1, MBADataset_tst.py:95), the device
+  denoises the whole window one step (one compiled program, reused for
+  every window — edge windows are shifted inward so shapes never change;
+  overlapping re-computation is deterministic hence harmless), and the
+  result lands in the write buffer.
+- Gene data is pulled through a provider callable per tile, so the
+  (potentially TB-scale) gene stack can live in zarr/tensorstore on disk
+  and is never fully materialized.
+- Resume/restart via :class:`StateCheckpoint` every ``checkpoint_every``
+  steps (``--cur_epoch`` parity).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.tilestore import StateCheckpoint
+from .generator import TeraGenerator
+
+GeneProvider = Callable[[int, int], np.ndarray]  # (row, col) -> per-tile gene
+
+
+def _as_provider(gene: Union[np.ndarray, GeneProvider]) -> GeneProvider:
+    if callable(gene):
+        return gene
+    return lambda r, c: gene[r, c]
+
+
+class HostState:
+    """Double-buffered (read/write) whole-grid state on the host.
+
+    Shape per buffer: (rows*tile, cols*tile, channels) float32.  With
+    ``memmap_dir`` the buffers are disk-backed memmaps (for state beyond
+    host RAM); otherwise plain numpy arrays.
+    """
+
+    def __init__(self, rows: int, cols: int, tile: int, channels: int,
+                 memmap_dir: Optional[str] = None):
+        self.rows, self.cols, self.tile, self.channels = \
+            rows, cols, tile, channels
+        shape = (rows * tile, cols * tile, channels)
+        if memmap_dir is None:
+            self.bufs = [np.zeros(shape, np.float32),
+                         np.zeros(shape, np.float32)]
+        else:
+            d = Path(memmap_dir)
+            d.mkdir(parents=True, exist_ok=True)
+            self.bufs = [
+                np.lib.format.open_memmap(d / f"state_{i}.npy", mode="w+",
+                                          dtype=np.float32, shape=shape)
+                for i in range(2)]
+        self.read_idx = 0
+
+    @property
+    def read(self) -> np.ndarray:
+        return self.bufs[self.read_idx]
+
+    @property
+    def write(self) -> np.ndarray:
+        return self.bufs[1 - self.read_idx]
+
+    def swap(self) -> None:
+        self.read_idx = 1 - self.read_idx
+
+    def padded_window(self, r0: int, c0: int, br: int, bc: int, pad: int,
+                      fill: float = -1.0) -> np.ndarray:
+        """Window of (br x bc) tiles at tile-origin (r0, c0) with a ``pad``-px
+        halo from the read buffer; outside the grid -> ``fill``."""
+        t = self.tile
+        h0, w0 = r0 * t - pad, c0 * t - pad
+        h1, w1 = (r0 + br) * t + pad, (c0 + bc) * t + pad
+        out = np.full((h1 - h0, w1 - w0, self.channels), fill, np.float32)
+        sh0, sw0 = max(h0, 0), max(w0, 0)
+        sh1 = min(h1, self.rows * t)
+        sw1 = min(w1, self.cols * t)
+        out[sh0 - h0: sh1 - h0, sw0 - w0: sw1 - w0] = \
+            self.read[sh0:sh1, sw0:sw1]
+        return out
+
+
+@dataclasses.dataclass
+class StreamConfig:
+    block_rows: int = 2     # tiles per device window (rows)
+    block_cols: int = 2     # tiles per device window (cols)
+    checkpoint_every: int = 0
+    memmap_dir: Optional[str] = None
+    progress: bool = True
+
+
+class StreamingGenerator:
+    """Whole-brain reverse diffusion with host-resident state.
+
+    Wraps a :class:`TeraGenerator` (reusing its per-tile update and
+    geometry) and adds the block-streaming outer loops.
+    """
+
+    def __init__(self, gen: TeraGenerator, sconf: StreamConfig):
+        self.gen = gen
+        self.sconf = sconf
+        c = gen.conf
+        self._pad = c.pad
+        # one compiled program per run: window denoise at fixed shape
+        self._window_fn = jax.jit(self._window_step)
+
+    # ---- device step over one halo-padded window ----------------------
+    def _window_step(self, padded: jnp.ndarray, gene_blk: jnp.ndarray,
+                     t: jnp.ndarray) -> jnp.ndarray:
+        """padded: (br*tile+2p, bc*tile+2p, ch); gene_blk: (br, bc, ...).
+        Returns (br*tile, bc*tile, ch)."""
+        c = self.gen.conf
+        br, bc = gene_blk.shape[:2]
+
+        def body(carry, idx):
+            r, cc = idx // bc, idx % bc
+            out = self.gen._tile_update(padded, gene_blk[r, cc], r, cc, t)
+            return carry, out
+
+        _, tiles = jax.lax.scan(body, 0, jnp.arange(br * bc))
+        tiles = tiles.reshape(br, bc, c.tile, c.tile, c.channels)
+        return tiles.transpose(0, 2, 1, 3, 4).reshape(
+            br * c.tile, bc * c.tile, c.channels)
+
+    # ---- init ----------------------------------------------------------
+    def init_state(self, state: HostState, *, row0: int = 1, col0: int = 1,
+                   grid_w: int = 416) -> None:
+        """Fill the read buffer with the deterministic per-tile init noise
+        (LCG parity, MBADataset_tst.py:11-14)."""
+        c = self.gen.conf
+        for r in range(state.rows):
+            for cc in range(state.cols):
+                from ..data.noise import tile_init_noise
+                n = tile_init_noise(row0 + r, col0 + cc, grid_w,
+                                    (c.tile, c.tile, c.channels),
+                                    backend=c.noise_backend)
+                state.read[r * c.tile:(r + 1) * c.tile,
+                           cc * c.tile:(cc + 1) * c.tile] = n
+
+    # ---- the outer loop -------------------------------------------------
+    def run(self, rows: int, cols: int,
+            gene: Union[np.ndarray, GeneProvider], *,
+            row0: int = 1, col0: int = 1, grid_w: int = 416,
+            checkpoint: Optional[StateCheckpoint] = None,
+            state: Optional[HostState] = None) -> HostState:
+        c = self.gen.conf
+        s = self.sconf
+        br = min(s.block_rows, rows)
+        bc = min(s.block_cols, cols)
+        provider = _as_provider(gene)
+        T = self.gen.sampler.schedule.num_timesteps
+        start_t = T
+
+        if state is None:
+            state = HostState(rows, cols, c.tile, c.channels,
+                              memmap_dir=s.memmap_dir)
+            resumed = False
+            if checkpoint is not None:
+                latest = checkpoint.latest()
+                if latest is not None:
+                    grid, meta = checkpoint.load_grid(latest)
+                    for r in range(rows):
+                        for cc in range(cols):
+                            state.read[r * c.tile:(r + 1) * c.tile,
+                                       cc * c.tile:(cc + 1) * c.tile] = \
+                                grid[r, cc]
+                    start_t = T - latest
+                    resumed = True
+            if not resumed:
+                self.init_state(state, row0=row0, col0=col0, grid_w=grid_w)
+
+        # window origins: shifted inward at the edges so every window has
+        # the same (br, bc) shape -> a single compiled program
+        r_orig = sorted({min(r, rows - br) for r in range(0, rows, br)})
+        c_orig = sorted({min(cc, cols - bc) for cc in range(0, cols, bc)})
+
+        # per-window gene cache (timestep-invariant): assembled lazily per
+        # window each sweep; for small grids cache fully on first sweep
+        gene_cache: dict = {}
+
+        def gene_block(r0: int, c0: int) -> np.ndarray:
+            key = (r0, c0)
+            if key not in gene_cache:
+                # provider takes GRID-LOCAL tile indices; a provider over a
+                # global store should bake its own offsets into the closure
+                tiles = [[provider(r0 + i, c0 + j)
+                          for j in range(bc)] for i in range(br)]
+                gene_cache[key] = np.stack(
+                    [np.stack(row) for row in tiles])
+            return gene_cache[key]
+
+        for t in range(start_t - 1, -1, -1):
+            for r0 in r_orig:
+                for c0 in c_orig:
+                    padded = state.padded_window(r0, c0, br, bc, self._pad)
+                    out = self._window_fn(jnp.asarray(padded),
+                                          jnp.asarray(gene_block(r0, c0)),
+                                          jnp.int32(t))
+                    ht, wt = r0 * c.tile, c0 * c.tile
+                    state.write[ht: ht + br * c.tile,
+                                wt: wt + bc * c.tile] = np.asarray(out)
+            state.swap()
+            epoch = T - t
+            if s.progress:
+                print(f"[stream] step t={t} done ({epoch}/{T})", flush=True)
+            if checkpoint is not None and s.checkpoint_every and \
+                    (epoch % s.checkpoint_every == 0) and t > 0:
+                grid = state.read.reshape(rows, c.tile, cols, c.tile,
+                                          c.channels).transpose(0, 2, 1, 3, 4)
+                checkpoint.save_grid(epoch, grid, hst=row0 * c.tile,
+                                     wst=col0 * c.tile, size=c.tile)
+                checkpoint.prune(keep_t=epoch)
+        return state

@@ -75,10 +75,21 @@ def make_train_step(model, sampler: DiffusionSampler, optimizer,
         t = jax.random.randint(rng_t, (b,), 0, T)
         x_pad = jnp.pad(image, ((0, 0), (half, half), (half, half), (0, 0)))
 
-        def model_fn(xp, tm, rp, p1, p2):
-            return model.apply(params, xp, tm, rp, p1, p2,
+        def apply(params_, xp, tm, rp, drop):
+            # p1=p2=2 is static for the training crop (base.py:221-247)
+            return model.apply(params_, xp, tm, rp, 2, 2,
                                deterministic=False,
-                               rngs={"dropout": rng_drop})
+                               rngs={"dropout": drop})
+        if conf.remat:
+            # activation checkpointing: recompute the UNet fwd in backward,
+            # trading FLOPs for HBM (reference use_checkpoint, config.py:101)
+            apply = jax.checkpoint(apply,
+                                   static_argnums=(),
+                                   prevent_cse=False)
+
+        def model_fn(xp, tm, rp, p1, p2):
+            assert (p1, p2) == (2, 2)
+            return apply(params, xp, tm, rp, rng_drop)
         return sampler.training_loss(model_fn, x_pad, rna, t, rng_loss)
 
     def train_step(state: TrainState, batch, rng):
@@ -140,7 +151,8 @@ class Trainer:
         x = jnp.zeros((4, ps, ps, img.shape[-1]))
         r = jnp.zeros((4, gn, gn, rna.shape[-1]))
         t = jnp.zeros((1,), jnp.int32)
-        params = self.model.init(jax.random.PRNGKey(seed), x, t, r, 2, 2)
+        params = jax.jit(lambda k: self.model.init(k, x, t, r, 2, 2))(
+            jax.random.PRNGKey(seed))
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
         print(f"Model params: {n/1e6:.2f} M", flush=True)
         opt_state = self.optimizer.init(params)
@@ -216,8 +228,15 @@ class Trainer:
     # ---------------- the loop ----------------
     def fit(self, batch_iter: Iterator[dict], *, max_steps: int,
             log_every: int = 50, state: Optional[TrainState] = None,
-            sample_dir: Optional[str] = None) -> TrainState:
+            sample_dir: Optional[str] = None,
+            metrics: bool = True) -> TrainState:
+        import itertools
+
         conf = self.conf
+        writer = None
+        if metrics:
+            from .tb import MetricWriter
+            writer = MetricWriter(conf.logdir)
         rng = jax.random.PRNGKey(conf.seed + jax.process_index())
         first = next(batch_iter)
         if state is None:
@@ -228,8 +247,11 @@ class Trainer:
                 print(f"resumed from step {int(state.step)}", flush=True)
 
         def shape_batch(b):
-            a = conf.accum_batches
+            # split the loader's (effective) batch into `accum` microbatches;
+            # clamp so a batch smaller than accum_batches still trains (one
+            # sample per microbatch) instead of producing empty means
             img, rna = b["image"], b["rna"]
+            a = max(1, min(conf.accum_batches, img.shape[0]))
             micro = img.shape[0] // a
             img = img[: a * micro].reshape(a, micro, *img.shape[1:])
             rna = rna[: a * micro].reshape(a, micro, *rna.shape[1:])
@@ -237,7 +259,7 @@ class Trainer:
 
         import time
         losses, t0 = [], time.time()
-        for i, batch in enumerate([first] + list(batch_iter)):
+        for batch in itertools.chain([first], batch_iter):
             if int(state.step) >= max_steps:
                 break
             rng, step_rng = jax.random.split(rng)
@@ -249,7 +271,11 @@ class Trainer:
                 lv = float(jnp.stack(losses).mean())
                 losses = []
                 dt = time.time() - t0
+                rate = conf.batch_size_effective * log_every / max(dt, 1e-9)
                 print(f"step {step}  loss {lv:.5f}  ({dt:.1f}s)", flush=True)
+                if writer is not None:
+                    writer.scalar("loss", lv, step)
+                    writer.scalar("samples_per_sec", rate, step)
                 t0 = time.time()
             if step % conf.save_every_steps == 0:
                 self.save(state)
@@ -257,4 +283,9 @@ class Trainer:
                                or step % conf.sample_every_steps == 0):
                 p = self.preview(state, batch, sample_dir, step)
                 print(f"sample grid -> {p}", flush=True)
+                if writer is not None:
+                    from PIL import Image
+                    writer.image("sample", np.asarray(Image.open(p)), step)
+        if writer is not None:
+            writer.close()
         return state

@@ -82,3 +82,21 @@ def test_missing_tiles_are_blank(tmp_path):
     arr = np.array(im)
     assert (arr[:256, :256] == 200).all()
     assert (arr[256:, 256:] == 0).all()
+
+
+def test_wsi_jpeg_tiles(tmp_path):
+    """JPEG-in-TIFF (compression 7) readable by PIL, near-lossless on
+    smooth data (reference pyvips jpeg-in-tiff default, infer_brn.py:84-88).
+    """
+    out = tmp_path / "jp.tif"
+    w = WsiWriter(out, 512, 512, compression="jpeg", quality=95)
+    y, x = np.mgrid[0:512, 0:512]
+    data = ((y + x) / 4 % 200).astype(np.uint8)  # smooth gradient
+    for ty in range(2):
+        w.write_row_strip(ty, data[ty * 256:(ty + 1) * 256])
+    w.close()
+    im = Image.open(out)
+    arr = np.array(im)
+    assert arr.shape == (512, 512)
+    assert np.abs(arr.astype(int) - data.astype(int)).mean() < 3.0
+    assert im.n_frames >= 2

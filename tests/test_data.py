@@ -110,3 +110,28 @@ def test_spad_table():
         if snum in (None, 1):
             continue
         assert (50 + 2 * spad - snum) % (snum // 2) == 0
+
+
+def test_load_tile_image_zarr_zip(tmp_path):
+    """Reference per-tile zarr .zip images read via tensorstore
+    (MBADataset.py:100-102 parity)."""
+    import zipfile
+    import tensorstore as ts
+    from tera_mind_tpu.data.dataset import load_tile_image
+
+    arr = np.arange(4 * 8 * 8, dtype=np.uint8).reshape(4, 8, 8)
+    zdir = tmp_path / "t.zarr"
+    spec = {"driver": "zarr",
+            "kvstore": {"driver": "file", "path": str(zdir)},
+            "metadata": {"shape": [4, 8, 8], "dtype": "|u1",
+                         "chunks": [4, 8, 8]},
+            "create": True}
+    ts.open(spec).result()[...] = arr
+    zp = tmp_path / "t.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        for f in zdir.iterdir():
+            z.write(f, f.name)
+
+    im = load_tile_image(zp)
+    got = np.asarray(im[:, 2:6, 1:5])
+    np.testing.assert_array_equal(got, arr[:, 2:6, 1:5])
