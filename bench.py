@@ -53,10 +53,13 @@ def main():
     params = jax.jit(lambda k: model.init(
         k, x, jnp.zeros((1,), jnp.int32), rna, 2, 2))(rng)
 
-    def model_fn(xp, tm, rp, p1, p2):
-        return model.apply(params, xp, tm, rp, p1, p2)
+    def model_fn(p, xp, tm, rp, p1, p2):
+        # inference uses only the collage decode (base.py:387); params flow
+        # through jit as an ARGUMENT (closures would embed 200M f32 consts
+        # in the HLO -> remote compile service rejects the upload)
+        return model.apply(p, xp, tm, rp, p1, p2, decode_original=False)
 
-    gen = TeraGenerator(sampler, model_fn, gconf)
+    gen = TeraGenerator(sampler, model_fn, gconf, params=params)
     # synthetic sparse-ish gene stack, uint8 counts
     grng = np.random.default_rng(0)
     gene = (grng.random((rows, cols, gconf.gsz, gconf.gsz, gconf.z_pad,

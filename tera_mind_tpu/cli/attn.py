@@ -105,7 +105,8 @@ def _calc(args, conf):
             jax.random.PRNGKey(0))
         print("WARNING: random-init attention weights", flush=True)
 
-    apply = jax.jit(lambda r: ext.apply(params, r))
+    apply_p = jax.jit(lambda p, r: ext.apply(p, r))
+    apply = lambda r: apply_p(params, r)
     store = TileStore(args.out_dir).create()
 
     spad = {1: 0, 4: 1, 8: 1, 16: 3}[conf.rna_slices]

@@ -130,13 +130,15 @@ def main():
         params = jax.jit(lambda k: model.init(k, x0, t0, r0, 2, 2))(rng)
         print("WARNING: random init (no checkpoint)", flush=True)
 
-    def model_fn(xp, tm, rp, p1, p2):
-        return model.apply(params, xp, tm, rp, p1, p2)
+    def model_fn(p, xp, tm, rp, p1, p2):
+        # inference uses only the collage decode (base.py:387); params are
+        # a jit ARGUMENT, never a closure constant (HLO size)
+        return model.apply(p, xp, tm, rp, p1, p2, decode_original=False)
 
     sampler = DiffusionSampler(
         conf.make_eval_sampler(T=args.tot_epoch).schedule,
         SamplerConfig(patch_size=conf.image_size, gn_sz=conf.gn_sz))
-    gen = TeraGenerator(sampler, model_fn, gconf)
+    gen = TeraGenerator(sampler, model_fn, gconf, params=params)
 
     rows, cols = args.hnm, args.wnm
     row0, col0 = args.hst // 256, args.wst // 256

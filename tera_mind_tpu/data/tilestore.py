@@ -105,30 +105,56 @@ class StateCheckpoint:
 
     def save_grid(self, t: int, state: np.ndarray, *, hst: int, wst: int,
                   size: int = 256, dtype=np.float16) -> None:
-        """state: (rows, cols, size, size, C) channels-last tile grid."""
+        """state: (rows, cols, size, size, C) channels-last tile grid.
+
+        A per-tile CRC32 goes into the manifest so resume can detect torn
+        or corrupted spills (the reference's analog is the
+        ``assert (stp == epoch).all()`` state-protocol guard,
+        test_brn.py:178 — here extended to content integrity)."""
+        import zlib
+
         store = self.store_for(t).create()
         rows, cols = state.shape[:2]
+        sums = {}
         for r in range(rows):
             for c in range(cols):
                 h0, w0 = hst + r * size, wst + c * size
-                store.write(tile_name(h0, h0 + size, w0, w0 + size),
-                            state[r, c].astype(dtype))
+                arr = np.ascontiguousarray(state[r, c].astype(dtype))
+                nm = tile_name(h0, h0 + size, w0, w0 + size)
+                store.write(nm, arr)
+                sums[nm] = zlib.crc32(arr.tobytes())
         meta = {"t": t, "rows": rows, "cols": cols, "hst": hst, "wst": wst,
-                "size": size, "channels": int(state.shape[-1])}
-        (store.root / "manifest.json").write_text(json.dumps(meta))
+                "size": size, "channels": int(state.shape[-1]),
+                "crc32": sums}
+        tmp = store.root / "manifest.json.tmp"
+        tmp.write_text(json.dumps(meta))
+        tmp.replace(store.root / "manifest.json")
 
-    def load_grid(self, t: int) -> Tuple[np.ndarray, dict]:
+    def load_grid(self, t: int, *, verify: bool = True
+                  ) -> Tuple[np.ndarray, dict]:
+        """Load a spilled grid; with ``verify`` checks each tile's CRC32
+        against the manifest and raises on corruption."""
+        import zlib
+
         store = self.store_for(t)
         meta = json.loads((store.root / "manifest.json").read_text())
         rows, cols, size = meta["rows"], meta["cols"], meta["size"]
+        sums = meta.get("crc32", {})
         state = np.zeros((rows, cols, size, size, meta["channels"]),
                          np.float32)
         for r in range(rows):
             for c in range(cols):
                 h0 = meta["hst"] + r * size
                 w0 = meta["wst"] + c * size
-                state[r, c] = store.read(
-                    tile_name(h0, h0 + size, w0, w0 + size))
+                nm = tile_name(h0, h0 + size, w0, w0 + size)
+                arr = store.read(nm)
+                if verify and nm in sums:
+                    got = zlib.crc32(np.ascontiguousarray(arr).tobytes())
+                    if got != sums[nm]:
+                        raise IOError(
+                            f"checkpoint tile {nm} at t={t} is corrupted "
+                            f"(crc {got:#x} != manifest {sums[nm]:#x})")
+                state[r, c] = arr
         return state, meta
 
     def latest(self) -> Optional[int]:

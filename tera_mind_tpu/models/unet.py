@@ -93,6 +93,7 @@ class TeraUNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, rna: jnp.ndarray,
                  p1: int, p2: int, *, deterministic: bool = True,
+                 decode_original: bool = True,
                  pos_emb: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         conf = self.conf
@@ -206,8 +207,12 @@ class TeraUNet(nn.Module):
         out_norm = RMSNorm(name="out_norm")
         out_conv = conv3d(conf.stains, (1, 3, 3), name="out_conv")
 
+        # Sampling consumes ONLY the collage decode (reference
+        # p_mean_variance reads model_forward.pred, base.py:387); skipping
+        # the original-grid pass (o=1) at inference saves ~the whole second
+        # decoder.  Training needs both for the dual loss.
         preds = []
-        for o in range(2):
+        for o in range(2 if decode_original else 1):
             hdec = h
             emb = emb_col if o == 0 else emb_orig
             skips = [list(level) for level in hid]
@@ -241,4 +246,4 @@ class TeraUNet(nn.Module):
                 b2, ps, ps, conf.out_channels)
             preds.append(out.astype(jnp.float32))
 
-        return preds[0], preds[1]
+        return preds[0], (preds[1] if decode_original else None)

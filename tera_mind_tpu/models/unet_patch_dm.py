@@ -89,7 +89,8 @@ class PatchDMUNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, rna: jnp.ndarray,
-                 p1: int, p2: int, *, deterministic: bool = True
+                 p1: int, p2: int, *, deterministic: bool = True,
+                 decode_original: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         conf = self.conf
         dt = conf.dtype
@@ -192,7 +193,7 @@ class PatchDMUNet(nn.Module):
                           zero_init=conf.use_zero_module, name="out_conv")
 
         preds = []
-        for o in range(2):
+        for o in range(2 if decode_original else 1):
             hdec = h
             emb = emb_col if o == 0 else emb_orig
             skips = [list(level) for level in hid]
@@ -226,4 +227,4 @@ class PatchDMUNet(nn.Module):
                 b2, ps, ps, conf.out_channels)
             preds.append(out.astype(jnp.float32))
 
-        return preds[0], preds[1]
+        return preds[0], (preds[1] if decode_original else None)

@@ -101,14 +101,27 @@ class TeraGenerator:
     """
 
     def __init__(self, sampler: DiffusionSampler, model_fn: Callable,
-                 conf: GeneratorConfig, *, mesh=None,
+                 conf: GeneratorConfig, *, params=None, mesh=None,
                  row_axis: str = "gr", col_axis: str = "gc"):
+        """If ``params`` is given, ``model_fn`` must take it as its FIRST
+        argument: ``model_fn(params, x, t, rna, p1, p2)``.  The params then
+        flow through the jit boundary as a runtime argument — closing over
+        large param pytrees would embed them as literal constants in the
+        serialized HLO (hundreds of MB for the full model, which this
+        environment's remote compile service rejects with HTTP 413)."""
         self.sampler = sampler
-        self.model_fn = model_fn
         self.conf = conf
         self.mesh = mesh
         self.row_axis, self.col_axis = row_axis, col_axis
         self._step_jit = None
+        if params is not None:
+            self.params = params
+            self._apply = model_fn
+            self.model_fn = lambda *a: model_fn(self.params, *a)
+        else:
+            self.params = ()  # empty pytree placeholder through jit
+            self._apply = lambda _p, *a: model_fn(*a)
+            self.model_fn = model_fn
 
     # -------------------------------------------------------------- #
     # initial state                                                   #
@@ -135,11 +148,13 @@ class TeraGenerator:
     # -------------------------------------------------------------- #
     # one jitted step over the local block                             #
     # -------------------------------------------------------------- #
-    def _tile_update(self, padded: jnp.ndarray, gene_tile: jnp.ndarray,
-                     r: jnp.ndarray, ccol: jnp.ndarray,
-                     t: jnp.ndarray) -> jnp.ndarray:
-        """Denoise one tile. padded: full halo-padded local image."""
+    def _tile_update(self, params, padded: jnp.ndarray,
+                     gene_tile: jnp.ndarray, r: jnp.ndarray,
+                     ccol: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        """Denoise one tile. padded: full halo-padded local image.
+        ``params`` is the traced model param pytree (see __init__)."""
         c = self.conf
+        mf = lambda *a: self._apply(params, *a)
         size = c.tile + 2 * c.pad
         win = lax.dynamic_slice(
             padded, (r * c.tile, ccol * c.tile, 0),
@@ -162,7 +177,7 @@ class TeraGenerator:
         if chunk == c.n_win:
             rna_pat = patchify(rna, c.patch // c.gn_blk)
             t_b = jnp.full((c.n_win,), t, jnp.int32)
-            out = self.sampler.denoise_step(self.model_fn, x, rna_pat, t_b)
+            out = self.sampler.denoise_step(mf, x, rna_pat, t_b)
         else:
             # bound activation memory: scan over groups of z-windows
             xc = x.reshape(c.n_win // chunk, chunk, *x.shape[1:])
@@ -172,8 +187,7 @@ class TeraGenerator:
             def wbody(carry, xs):
                 xw, rw = xs
                 rp = patchify(rw, c.patch // c.gn_blk)
-                return carry, self.sampler.denoise_step(
-                    self.model_fn, xw, rp, t_b)
+                return carry, self.sampler.denoise_step(mf, xw, rp, t_b)
 
             _, outs = lax.scan(wbody, 0, (xc, rc))
             out = outs.reshape(c.n_win, c.tile, c.tile,
@@ -183,7 +197,7 @@ class TeraGenerator:
         out = out.transpose(1, 2, 3, 0, 4).reshape(c.tile, c.tile, c.channels)
         return out
 
-    def _block_step(self, state: jnp.ndarray, gene: jnp.ndarray,
+    def _block_step(self, params, state: jnp.ndarray, gene: jnp.ndarray,
                     t: jnp.ndarray, *, sharded: bool) -> jnp.ndarray:
         """One timestep over the local (R_loc, C_loc) tile block."""
         c = self.conf
@@ -196,7 +210,8 @@ class TeraGenerator:
 
         def body(carry, idx):
             r, cc = idx // cols, idx % cols
-            tile_out = self._tile_update(padded, gene[r, cc], r, cc, t)
+            tile_out = self._tile_update(params, padded, gene[r, cc],
+                                         r, cc, t)
             return carry, tile_out
 
         _, tiles = lax.scan(body, 0, jnp.arange(rows * cols))
@@ -220,8 +235,8 @@ class TeraGenerator:
             padded = pad_fn(state)
             out_rows = []
             for r in range(rows):
-                row_tiles = [tile_fn(padded, gene[r, cc], jnp.int32(r),
-                                     jnp.int32(cc), t)
+                row_tiles = [tile_fn(self.params, padded, gene[r, cc],
+                                     jnp.int32(r), jnp.int32(cc), t)
                              for cc in range(cols)]
                 out_rows.append(jnp.concatenate(row_tiles, axis=1))
             return jnp.concatenate(out_rows, axis=0)
@@ -238,12 +253,15 @@ class TeraGenerator:
             fn = shard_map(
                 partial(self._block_step, sharded=True),
                 mesh=mesh,
-                in_specs=(P(self.row_axis, self.col_axis),
+                in_specs=(P(),  # params replicated
+                          P(self.row_axis, self.col_axis),
                           P(self.row_axis, self.col_axis), P()),
                 out_specs=P(self.row_axis, self.col_axis),
                 check_rep=False)
-            return jax.jit(fn)
-        return jax.jit(partial(self._block_step, sharded=False))
+            compiled = jax.jit(fn)
+        else:
+            compiled = jax.jit(partial(self._block_step, sharded=False))
+        return lambda state, gene, t: compiled(self.params, state, gene, t)
 
     # -------------------------------------------------------------- #
     # the outer loop                                                  #
@@ -267,6 +285,10 @@ class TeraGenerator:
             latest = checkpoint.latest()
             if latest is not None:
                 grid, meta = checkpoint.load_grid(latest)
+                # state-protocol guard (reference test_brn.py:178)
+                assert meta["rows"] == rows and meta["cols"] == cols \
+                    and meta["size"] == c.tile \
+                    and meta["channels"] == c.channels, (meta, c)
                 state = grid.transpose(0, 2, 1, 3, 4).reshape(
                     rows * c.tile, cols * c.tile, c.channels)
                 start_t = T - latest  # epochs done = latest

@@ -127,8 +127,8 @@ class StreamingGenerator:
         self._window_fn = jax.jit(self._window_step)
 
     # ---- device step over one halo-padded window ----------------------
-    def _window_step(self, padded: jnp.ndarray, gene_blk: jnp.ndarray,
-                     t: jnp.ndarray) -> jnp.ndarray:
+    def _window_step(self, params, padded: jnp.ndarray,
+                     gene_blk: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         """padded: (br*tile+2p, bc*tile+2p, ch); gene_blk: (br, bc, ...).
         Returns (br*tile, bc*tile, ch)."""
         c = self.gen.conf
@@ -136,7 +136,8 @@ class StreamingGenerator:
 
         def body(carry, idx):
             r, cc = idx // bc, idx % bc
-            out = self.gen._tile_update(padded, gene_blk[r, cc], r, cc, t)
+            out = self.gen._tile_update(params, padded, gene_blk[r, cc],
+                                        r, cc, t)
             return carry, out
 
         _, tiles = jax.lax.scan(body, 0, jnp.arange(br * bc))
@@ -181,6 +182,10 @@ class StreamingGenerator:
                 latest = checkpoint.latest()
                 if latest is not None:
                     grid, meta = checkpoint.load_grid(latest)
+                    # state-protocol guard (reference test_brn.py:178)
+                    assert meta["rows"] == rows and meta["cols"] == cols \
+                        and meta["size"] == c.tile \
+                        and meta["channels"] == c.channels, (meta, c)
                     for r in range(rows):
                         for cc in range(cols):
                             state.read[r * c.tile:(r + 1) * c.tile,
@@ -215,7 +220,8 @@ class StreamingGenerator:
             for r0 in r_orig:
                 for c0 in c_orig:
                     padded = state.padded_window(r0, c0, br, bc, self._pad)
-                    out = self._window_fn(jnp.asarray(padded),
+                    out = self._window_fn(self.gen.params,
+                                          jnp.asarray(padded),
                                           jnp.asarray(gene_block(r0, c0)),
                                           jnp.int32(t))
                     ht, wt = r0 * c.tile, c0 * c.tile

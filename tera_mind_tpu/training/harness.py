@@ -128,16 +128,32 @@ class Trainer:
 
     def __init__(self, conf: TrainConfig, *, mesh=None, ema: bool = False):
         self.conf = conf
+        if mesh is None and len(jax.devices()) > 1:
+            # default dp mesh over all devices (replaces Lightning DDP,
+            # experiment.py:485): grads all-reduce via compiled psum
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh(("dp",))
         self.mesh = mesh
         self.model = conf.make_model_conf().make_model()
         self.sampler = conf.make_train_sampler()
         self.eval_sampler = conf.make_eval_sampler()
         self.optimizer = make_optimizer(conf)
         self.ema = ema
-        self.train_step = jax.jit(
-            make_train_step(self.model, self.sampler, self.optimizer, conf,
-                            ema=ema),
-            donate_argnums=(0,))
+        step = make_train_step(self.model, self.sampler, self.optimizer,
+                               conf, ema=ema)
+        if self.mesh is not None:
+            dp = NamedSharding(self.mesh, P(None, "dp"))
+            rep = NamedSharding(self.mesh, P())
+            self._batch_sharding = dp
+            self._rep_sharding = rep
+            self.train_step = jax.jit(
+                step, donate_argnums=(0,),
+                in_shardings=(rep, {"image": dp, "rna": dp}, rep),
+                out_shardings=(rep, rep))
+        else:
+            self._batch_sharding = None
+            self._rep_sharding = None
+            self.train_step = jax.jit(step, donate_argnums=(0,))
         self._ckpt_mgr = None
 
     # ---------------- state ----------------
@@ -205,14 +221,19 @@ class Trainer:
         params = state.ema_params if (self.ema and state.ema_params
                                       is not None) else state.params
 
-        def model_fn(xp, tm, rp, p1, p2):
-            return self.model.apply(params, xp, tm, rp, p1, p2)
-
         from ..ops.collage import patchify
         gn = conf.gn_sz
         rna_pat = patchify(rna, gn)  # padded grid covers (H+ps, W+ps)
         noise = jax.random.normal(rng, img.shape, jnp.float32)
-        gen = self.eval_sampler.sample(model_fn, noise, rna_pat)
+
+        def sample_fn(p, n, r):
+            # params as a jit argument (not a closure constant: HLO size)
+            def model_fn(xp, tm, rp, p1, p2):
+                return self.model.apply(p, xp, tm, rp, p1, p2,
+                                        decode_original=False)
+            return self.eval_sampler.sample(model_fn, n, r)
+
+        gen = jax.jit(sample_fn)(params, noise, rna_pat)
 
         grid = jnp.concatenate([img, gen], axis=2)  # real | generated
         arr = np.asarray(jnp.clip((grid + 1) * 127.5, 0, 255)).astype(
@@ -237,6 +258,10 @@ class Trainer:
         if metrics:
             from .tb import MetricWriter
             writer = MetricWriter(conf.logdir)
+        # persist the config next to the checkpoints (reference
+        # save_hyperparameters, experiment.py:32) for test-time re-derivation
+        Path(conf.logdir).mkdir(parents=True, exist_ok=True)
+        conf.save(Path(conf.logdir) / "config.json")
         rng = jax.random.PRNGKey(conf.seed + jax.process_index())
         first = next(batch_iter)
         if state is None:
@@ -245,6 +270,8 @@ class Trainer:
             if restored is not None:
                 state = restored
                 print(f"resumed from step {int(state.step)}", flush=True)
+        if self._rep_sharding is not None:
+            state = jax.device_put(state, self._rep_sharding)
 
         def shape_batch(b):
             # split the loader's (effective) batch into `accum` microbatches;
@@ -253,9 +280,22 @@ class Trainer:
             img, rna = b["image"], b["rna"]
             a = max(1, min(conf.accum_batches, img.shape[0]))
             micro = img.shape[0] // a
+            if self.mesh is not None:
+                # microbatch must tile the dp axis evenly
+                ndp = self.mesh.devices.size
+                assert img.shape[0] >= ndp, \
+                    f"batch {img.shape[0]} < dp devices {ndp}"
+                micro = micro // ndp * ndp
+                if micro == 0:
+                    micro = ndp
+                    a = max(1, img.shape[0] // micro)
             img = img[: a * micro].reshape(a, micro, *img.shape[1:])
             rna = rna[: a * micro].reshape(a, micro, *rna.shape[1:])
-            return {"image": jnp.asarray(img), "rna": jnp.asarray(rna)}
+            out = {"image": jnp.asarray(img), "rna": jnp.asarray(rna)}
+            if self._batch_sharding is not None:
+                out = {k: jax.device_put(v, self._batch_sharding)
+                       for k, v in out.items()}
+            return out
 
         import time
         losses, t0 = [], time.time()

@@ -103,3 +103,29 @@ def test_sampler_mask_pins_background():
     out = np.asarray(out)
     np.testing.assert_allclose(out[:, 8:], -1.0, atol=1e-6)
     assert not np.allclose(out[:, :8], -1.0)
+
+
+def test_decode_original_skip_matches_collage_output():
+    """decode_original=False must return the IDENTICAL collage prediction
+    (sampling consumes only model_forward.pred, reference base.py:387) while
+    skipping the second decoder pass."""
+    from tera_mind_tpu.models.unet import TeraUNetConfig
+
+    conf = TeraUNetConfig(image_size=32, gn_sz=2, rna_num=16,
+                          rna_tpl=(0, 1, 2, 3), in_channels=4,
+                          out_channels=4, model_channels=8,
+                          embed_channels=32, dropout=0.0)
+    model = conf.make_model()
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 4))
+    t = jnp.array([500], jnp.int32)
+    rna = jnp.zeros((4, 2, 2, 64))
+    params = jax.jit(lambda k: model.init(k, x, t, rna, 2, 2))(
+        jax.random.PRNGKey(1))
+    col_full, orig = jax.jit(
+        lambda p: model.apply(p, x, t, rna, 2, 2))(params)
+    col_only, none = jax.jit(
+        lambda p: model.apply(p, x, t, rna, 2, 2,
+                              decode_original=False))(params)
+    assert none is None
+    assert orig is not None
+    np.testing.assert_array_equal(np.asarray(col_full), np.asarray(col_only))

@@ -78,3 +78,27 @@ def test_padded_window_halo_and_fill():
     np.testing.assert_array_equal(w[:2, 2:6], st.read[2:4, 4:8])
     # outside grid -> -1
     assert (w[:, 6:] == -1).all() and (w[6:, :] == -1).all()
+
+
+def test_checkpoint_corruption_detected(tmp_path):
+    """CRC-verified resume: a flipped byte in a spilled tile raises."""
+    import pytest
+    from tera_mind_tpu.data.tilestore import StateCheckpoint
+
+    ck = StateCheckpoint(tmp_path / "st", fmt="npy")
+    grid = np.arange(2 * 2 * 4 * 4 * 3, dtype=np.float32).reshape(
+        2, 2, 4, 4, 3)
+    ck.save_grid(5, grid, hst=128, wst=128, size=4)
+    out, meta = ck.load_grid(5)
+    np.testing.assert_allclose(out, grid.astype(np.float16))
+
+    # corrupt one tile on disk
+    store = ck.store_for(5)
+    name = [n for n in store.names()][0]
+    p = store._path(name)
+    raw = bytearray(p.read_bytes())
+    raw[-1] ^= 0xFF
+    p.write_bytes(bytes(raw))
+    with pytest.raises(IOError):
+        ck.load_grid(5)
+    ck.load_grid(5, verify=False)  # opt-out still reads
