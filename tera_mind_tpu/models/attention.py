@@ -137,7 +137,8 @@ class DiTBlock(nn.Module):
                               n_win=self.n_win, dtype=self.dtype, name="attn")
         xt = xt + gate_msa * attn(
             modulate(norm1, xt, shift_msa, scale_msa), crss_cnd, z)
-        xt = xt + gate_mlp * Mlp(int(c * self.mlp_ratio), name="mlp")(
+        xt = xt + gate_mlp * Mlp(int(c * self.mlp_ratio),
+                                 dtype=self.dtype, name="mlp")(
             modulate(norm2, xt, shift_mlp, scale_mlp))
         return xt.reshape(b, z, h, w, c)
 
@@ -186,7 +187,8 @@ class GeneGeneBlock(nn.Module):
         out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
 
         out = RMSNorm(name="norm2")(out)
-        out = Mlp(int(d * self.mlp_ratio), name="mlp")(out)
+        out = Mlp(int(d * self.mlp_ratio), dtype=self.dtype,
+                  name="mlp")(out)
 
         out = out.transpose(0, 2, 1).reshape(b, z, h, w, g)
         ker = DOWN_Z_KERNEL[self.z_size]

@@ -36,20 +36,23 @@ class ResBlock3D(nn.Module):
                  *, deterministic: bool = True) -> jnp.ndarray:
         in_ch = x.shape[-1]
 
-        h = RMSNorm(name="in_norm")(x)
+        dt = self.compute_dtype
+        h = RMSNorm(name="in_norm")(x.astype(dt))
         h = nn.silu(h)
         if self.up:
             h, x = upsample_2x(h), upsample_2x(x)
         elif self.down:
             h, x = downsample_2x(h), downsample_2x(x)
-        h = conv3d(self.out_channels, (3, 3, 3), name="in_conv")(h)
+        h = conv3d(self.out_channels, (3, 3, 3), dtype=dt,
+                   name="in_conv")(h)
 
         h = RMSNorm(name="out_norm")(h)
         if emb is not None:
             # emb is (B, E); project to per-channel scale/shift
             # (reference MBAblocks.py:166-171, 302-368)
-            emb_out = nn.Dense(2 * self.out_channels, name="emb_proj")(
-                nn.silu(emb)).astype(h.dtype)
+            emb_out = nn.Dense(2 * self.out_channels, dtype=dt,
+                               name="emb_proj")(
+                nn.silu(emb.astype(dt))).astype(h.dtype)
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             scale = scale[:, None, None, None, :]
             shift = shift[:, None, None, None, :]
@@ -57,12 +60,13 @@ class ResBlock3D(nn.Module):
         h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = conv3d(self.out_channels, (3, 3, 3),
+        h = conv3d(self.out_channels, (3, 3, 3), dtype=dt,
                    zero_init=self.use_zero_module, name="out_conv")(h)
 
         if in_ch != self.out_channels:
-            x = conv3d(self.out_channels, (1, 1, 1), name="skip_conv")(x)
-        return x + h
+            x = conv3d(self.out_channels, (1, 1, 1), dtype=dt,
+                       name="skip_conv")(x)
+        return (x + h).astype(dt)
 
 
 class Upsample(nn.Module):

@@ -29,10 +29,16 @@ class RMSNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         weight = self.param("weight", nn.initializers.ones, (x.shape[-1],))
         dtype = x.dtype
-        xf = x.astype(jnp.float32)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        xf = xf * jax.lax.rsqrt(var + self.eps)
-        return weight * xf.astype(dtype)
+        # statistics in f32 (accumulated inside the reduce: the cast fuses
+        # without materializing an f32 copy of x — on bf16 activations that
+        # copy was the dominant HBM traffic of every norm), normalize in the
+        # input dtype.  f32 inputs keep the reference's exact math.
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+        inv = jax.lax.rsqrt(var + self.eps)
+        if dtype == jnp.float32:
+            return weight * (x * inv)
+        return (weight.astype(dtype) * (x * inv.astype(dtype))).astype(dtype)
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int,
@@ -84,15 +90,17 @@ class Mlp(nn.Module):
 
     hidden_features: int
     out_features: Optional[int] = None
+    dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out = self.out_features or x.shape[-1]
-        h = nn.Dense(self.hidden_features, param_dtype=self.param_dtype,
-                     name="fc1")(x)
+        h = nn.Dense(self.hidden_features, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="fc1")(x)
         h = nn.gelu(h, approximate=True)
-        h = nn.Dense(out, param_dtype=self.param_dtype, name="fc2")(h)
+        h = nn.Dense(out, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="fc2")(h)
         return h
 
 
@@ -105,17 +113,21 @@ def modulate(norm: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
 def conv3d(features: int, kernel: Sequence[int], *,
            use_bias: bool = True,
            zero_init: bool = False,
+           dtype: Optional[jnp.dtype] = None,
            param_dtype: jnp.dtype = jnp.float32,
            name: Optional[str] = None) -> nn.Conv:
     """3D conv over (Z, H, W) with SAME-style explicit symmetric padding.
 
     Kernel (1,3,3) pads (0,1,1); kernel (3,3,3) pads (1,1,1) — matching the
     reference conv_nd usage (unet_ours.py:110-114, MBAblocks.py:131-148).
+
+    ``dtype`` is the COMPUTE dtype (params stay f32): without it flax
+    promotes activations to f32 everywhere, doubling HBM traffic.
     """
     pad = [((k - 1) // 2, (k - 1) // 2) for k in kernel]
     init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
     return nn.Conv(features, kernel_size=tuple(kernel), padding=pad,
-                   use_bias=use_bias, kernel_init=init,
+                   use_bias=use_bias, kernel_init=init, dtype=dtype,
                    param_dtype=param_dtype, name=name)
 
 

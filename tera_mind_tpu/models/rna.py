@@ -66,7 +66,8 @@ class RNATower(nn.Module):
         feats = [h]
         for rid in range(1, 4):
             h = nn.silu(h)
-            h = conv3d(och[rid], (1, 3, 3), name=f"conv_{rid}")(h)
+            h = conv3d(och[rid], (1, 3, 3), dtype=self.dtype,
+                       name=f"conv_{rid}")(h)
             h = upsample_2x(h)
             feats.append(h)
         return feats, attn

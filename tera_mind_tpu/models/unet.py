@@ -128,7 +128,8 @@ class TeraUNet(nn.Module):
         # (unet_ours.py:381-390); rna_feats[-lvl-1] is concatenated on
         # channels for all non-first blocks of a level AND fed as adaLN cond
         # to the attention blocks.
-        h = conv3d(conf.model_channels, (1, 3, 3), name="stem")(h)
+        h = conv3d(conf.model_channels, (1, 3, 3), dtype=dt,
+                   name="stem")(h)
         hid: List[List[jnp.ndarray]] = [[h]]
         resolution = conf.image_size
         k = 1
@@ -205,7 +206,8 @@ class TeraUNet(nn.Module):
                     dec_up.append(None)
                 k += 1
         out_norm = RMSNorm(name="out_norm")
-        out_conv = conv3d(conf.stains, (1, 3, 3), name="out_conv")
+        out_conv = conv3d(conf.stains, (1, 3, 3), dtype=dt,
+                          name="out_conv")
 
         # Sampling consumes ONLY the collage decode (reference
         # p_mean_variance reads model_forward.pred, base.py:387); skipping

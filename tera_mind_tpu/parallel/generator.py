@@ -302,11 +302,22 @@ class TeraGenerator:
             else self.compile_pieces()
         dev_state = jnp.asarray(state)
         dev_gene = jnp.asarray(gene_grid)
+        import time as _time
+        t_start = None
         for t in range(start_t - 1, -1, -1):
             dev_state = step(dev_state, dev_gene, jnp.int32(t))
             epoch = T - t  # epochs completed
             if progress:
-                print(f"[tera] step t={t} done ({epoch}/{T})", flush=True)
+                jax.block_until_ready(dev_state)
+                if t_start is None:  # first step includes compile: exclude
+                    t_start, e_start = _time.perf_counter(), epoch
+                    rate = ""
+                else:
+                    done = (epoch - e_start) * rows * cols
+                    rate = (f"  {done / (_time.perf_counter() - t_start):.4f}"
+                            f" tile-steps/s")
+                print(f"[tera] step t={t} done ({epoch}/{T}){rate}",
+                      flush=True)
             if checkpoint is not None and checkpoint_every and \
                     (epoch % checkpoint_every == 0 or t == 0) and t > 0:
                 arr = np.asarray(dev_state)
