@@ -52,6 +52,10 @@ def main():
     rna = jnp.zeros((4, 4, 4, conf.rna_slices * 500))
     params = jax.jit(lambda k: model.init(
         k, x, jnp.zeros((1,), jnp.int32), rna, 2, 2))(rng)
+    if os.environ.get("BENCH_BF16_PARAMS", "1") == "1":
+        # cast weights ONCE: bf16 compute casts them per-call anyway, so
+        # this is numerically identical but halves param HBM traffic
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
 
     def model_fn(p, xp, tm, rp, p1, p2):
         # inference uses only the collage decode (base.py:387); params flow

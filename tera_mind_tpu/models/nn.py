@@ -8,6 +8,7 @@ axis, which maps onto TPU lanes.  Semantics-parity notes cite the reference
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -28,6 +29,10 @@ class RMSNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         weight = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        if os.environ.get("TMT_PALLAS_NORM") == "1" \
+                and x.dtype != jnp.float32:
+            from ..ops.rmsnorm_kernel import rmsnorm_fused
+            return rmsnorm_fused(x, weight, self.eps)
         dtype = x.dtype
         # statistics in f32 (accumulated inside the reduce: the cast fuses
         # without materializing an f32 copy of x — on bf16 activations that

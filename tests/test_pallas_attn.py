@@ -63,3 +63,43 @@ def test_cross_attention_pallas_backend_matches_xla():
     ap = jax.jit(lambda p_, a, b: mp.apply(p_, a, b, 2))(p, x, y)
     np.testing.assert_allclose(np.asarray(ax), np.asarray(ap),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_rmsnorm_fused_matches_xla():
+    from tera_mind_tpu.ops.rmsnorm_kernel import rmsnorm_fused, _rmsnorm_xla
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 128),
+                          jnp.bfloat16) * 3
+    w = jax.random.normal(jax.random.PRNGKey(1), (128,), jnp.float32)
+    got = jax.jit(lambda a, b: rmsnorm_fused(a, b, 1e-6))(x, w)
+    want = jax.jit(lambda a, b: _rmsnorm_xla(a, b, 1e-6))(x, w)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_rmsnorm_fused_grad_matches_xla():
+    from tera_mind_tpu.ops.rmsnorm_kernel import rmsnorm_fused, _rmsnorm_xla
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (16, 128)) * 2
+    w = jnp.ones((128,)) * 1.5
+
+    def loss(fn):
+        return lambda a, b: jnp.sum(fn(a, b, 1e-6).astype(jnp.float32) ** 2)
+
+    gx1, gw1 = jax.jit(jax.grad(loss(rmsnorm_fused), argnums=(0, 1)))(x, w)
+    gx2, gw2 = jax.jit(jax.grad(loss(_rmsnorm_xla), argnums=(0, 1)))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_rmsnorm_fused_odd_rows_fallback():
+    """Odd row counts (gene-token norms) take the XLA fallback path."""
+    from tera_mind_tpu.ops.rmsnorm_kernel import rmsnorm_fused
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, 229, 64), jnp.bfloat16)
+    w = jnp.ones((64,))
+    out = jax.jit(lambda a, b: rmsnorm_fused(a, b, 1e-6))(x, w)
+    assert out.shape == x.shape
