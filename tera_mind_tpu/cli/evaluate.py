@@ -35,10 +35,11 @@ def main():
                     help="channel (slice*stain) index to evaluate")
     ap.add_argument("--report", default=None, help="write JSON report here")
     ap.add_argument("--features", default="pool",
-                    choices=("pool", "torchscript"))
+                    choices=("pool", "torchscript", "inception", "clip"))
     ap.add_argument("--feature_weights", default=None,
-                    help="torchscript feature model path (InceptionV3 "
-                    "export, reference feat_mba.py:29-42)")
+                    help="weights path: torchscript InceptionV3 export "
+                    "(torchscript/inception; reference feat_mba.py:29-42) "
+                    "or a local CLIP model dir (clip)")
     ap.add_argument("--max_tiles", type=int, default=0)
     args = ap.parse_args()
 
@@ -69,6 +70,13 @@ def main():
 
         if args.features == "torchscript" and args.feature_weights:
             extractor = TorchscriptFeatures(args.feature_weights)
+        elif args.features == "inception" and args.feature_weights:
+            # flax InceptionV3 on the TPU (converted torchscript weights)
+            from ..metrics.inception import FlaxInceptionFeatures
+            extractor = FlaxInceptionFeatures(args.feature_weights)
+        elif args.features == "clip" and args.feature_weights:
+            from ..metrics.features import CLIPFeatures
+            extractor = CLIPFeatures(args.feature_weights)
         else:
             extractor = PoolFeatures()
         report["d_fid"] = float(d_fid_between_stores(
@@ -89,10 +97,13 @@ def main():
             ch = min(args.channel, g.shape[-1] - 1) if g.ndim == 3 else None
             if g.ndim == 3:
                 g, r = g[..., ch], r[..., ch]
-            ps.append(float(psnr_j(g, r)))
-            ss.append(float(ssim_j(g, r)))
-            if min(g.shape) >= 160:
-                ms.append(float(msssim_j(g, r)))
+            # the metrics take (B, H, W, C)
+            g = g[None, ..., None]
+            r = r[None, ..., None]
+            ps.append(float(np.asarray(psnr_j(g, r)).mean()))
+            ss.append(float(np.asarray(ssim_j(g, r)).mean()))
+            if min(g.shape[1:3]) >= 160:
+                ms.append(float(np.asarray(msssim_j(g, r)).mean()))
         report["psnr"] = float(np.mean(ps))
         report["ssim"] = float(np.mean(ss))
         if ms:

@@ -89,6 +89,32 @@ class TorchscriptFeatures:
             return self.model(x).numpy()
 
 
+class CLIPFeatures:
+    """CLIP ViT-B/32 image features via transformers' flax implementation
+    (reference CLIP_fx, feat_mba.py:164-179).  Needs locally available
+    weights (zero-egress environment): pass a local model directory."""
+
+    dim = 512
+
+    def __init__(self, model_dir: str):
+        import jax
+        from transformers import FlaxCLIPModel, CLIPImageProcessor
+        self.model = FlaxCLIPModel.from_pretrained(model_dir)
+        self.proc = CLIPImageProcessor.from_pretrained(model_dir)
+        self._apply = jax.jit(
+            lambda pix: self.model.get_image_features(pixel_values=pix))
+
+    def __call__(self, batch: np.ndarray) -> np.ndarray:
+        x = np.asarray(batch, np.float32)
+        if x.ndim == 3:
+            x = np.repeat(x[..., None], 3, axis=-1)
+        imgs = [(v - v.min()) / max(v.max() - v.min(), 1e-6) * 255
+                for v in x]
+        pix = self.proc(images=imgs, return_tensors="np",
+                        do_rescale=True)["pixel_values"]
+        return np.asarray(self._apply(pix))
+
+
 def collect_moments(tiles: Iterable[np.ndarray], extractor: FeatureExtractor,
                     *, mask_fn: Optional[Callable[[np.ndarray], bool]] = None,
                     batch: int = 16) -> StreamingMoments:
