@@ -218,7 +218,9 @@ class TeraGenerator:
         tiles = tiles.reshape(rows, cols, c.tile, c.tile, c.channels)
         new = tiles.transpose(0, 2, 1, 3, 4).reshape(
             rows * c.tile, cols * c.tile, c.channels)
-        return new
+        # preserve the caller's state dtype (bf16 state halves HBM for
+        # whole-brain grids; see docs/WHOLE_BRAIN.md sizing)
+        return new.astype(state.dtype)
 
     def compile_pieces(self):
         """Piece-wise jitted step (single device): one small pad graph +
@@ -239,7 +241,7 @@ class TeraGenerator:
                                      jnp.int32(r), jnp.int32(cc), t)
                              for cc in range(cols)]
                 out_rows.append(jnp.concatenate(row_tiles, axis=1))
-            return jnp.concatenate(out_rows, axis=0)
+            return jnp.concatenate(out_rows, axis=0).astype(state.dtype)
 
         return step
 

@@ -159,3 +159,22 @@ def test_generator_resume_with_grid_checkpoint(tmp_path):
                  size=gconf.tile)
     got = gen.run(gene, row0=1, col0=1, checkpoint=ck, progress=False)
     np.testing.assert_allclose(got, want, atol=2e-3)  # fp16 spill eps
+
+
+def test_generator_bf16_state_dtype_preserved():
+    """bf16 state stays bf16 across steps (whole-brain memory mode) and
+    tracks the f32 trajectory closely."""
+    gen, gconf = _mk()
+    rng = np.random.default_rng(3)
+    gene = (rng.random((1, 1, gconf.gsz, gconf.gsz, gconf.z_pad,
+                        gconf.gdim)) < 0.05).astype(np.uint8)
+    state = gen.init_state(1, 1, row0=1, col0=1)
+    step = gen.compile_step(1, 1)
+    s16 = jnp.asarray(state, jnp.bfloat16)
+    s32 = jnp.asarray(state)
+    for t in (2, 1, 0):
+        s16 = step(s16, jnp.asarray(gene), jnp.int32(t))
+        s32 = step(s32, jnp.asarray(gene), jnp.int32(t))
+    assert s16.dtype == jnp.bfloat16
+    diff = np.abs(np.asarray(s16, np.float32) - np.asarray(s32))
+    assert diff.max() < 0.1, diff.max()
