@@ -10,7 +10,6 @@ Prints ONE JSON line {metric, value, unit, vs_baseline}.
 
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")

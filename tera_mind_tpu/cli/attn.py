@@ -52,7 +52,7 @@ def main():
     args = ap.parse_args()
 
     from ..config import config_from_name, prep_config
-    from ..constants import MALL, MROI
+    from ..constants import MALL
 
     if args.ckpt_pth is not None:
         conf = config_from_name(args.ckpt_pth.parent.name)

@@ -16,7 +16,7 @@ import math
 from pathlib import Path
 from typing import Optional, Tuple
 
-from .constants import M2H, MOUSE
+from .constants import MOUSE
 from .diffusion.sampler import DiffusionSampler, SamplerConfig
 from .diffusion.schedule import spaced_schedule, train_schedule
 from .models.unet import TeraUNetConfig

@@ -22,7 +22,7 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
-from ..constants import MOUSE, NUM_Z_SLICES
+from ..constants import NUM_Z_SLICES
 from .coo import COO
 
 # z padding per z-window size: keeps (50 + 2*spad) / (snum/2) - 1 integral

@@ -16,7 +16,6 @@ All tensors channels-last; the timestep loop is a ``lax.scan``.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.collage import to_collage
-from .nn import timestep_embedding
 from .rna import RNATower, rna_grid_from_dense
 
 

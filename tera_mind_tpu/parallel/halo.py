@@ -14,7 +14,6 @@ reference's empty-background value, MBADataset_tst.py:95).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

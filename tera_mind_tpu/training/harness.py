@@ -18,8 +18,6 @@ ported.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from pathlib import Path
 from typing import Any, Iterator, Optional
 
