@@ -1,0 +1,69 @@
+"""Golden regression values for the flagship model + sampler step.
+
+Pins the EXACT current semantics (fixed PRNG init, fixed inputs) so
+future layout/perf refactors (e.g. the planned z->channel repack) can
+prove equivalence. Regenerate deliberately with the recipe in this file's
+git history if semantics are intentionally changed.
+
+Golden values were produced on the TPU; f32 matmuls there use bf16-reduced
+precision, so tolerances allow cross-backend drift (~2e-2 abs on O(1)
+activations) while still catching real semantic changes.
+"""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GOLDEN = Path(__file__).parent / "golden" / "teraunet_tiny.npz"
+
+
+def _build():
+    from tera_mind_tpu.models.unet import TeraUNetConfig
+
+    conf = TeraUNetConfig(image_size=32, gn_sz=2, rna_num=16,
+                          rna_tpl=(0, 1, 2, 3), in_channels=4,
+                          out_channels=4, model_channels=8,
+                          embed_channels=32, dropout=0.0)
+    model = conf.make_model()
+    kx, kr, kp = jax.random.split(jax.random.PRNGKey(42), 3)
+    x = jax.random.normal(kx, (4, 32, 32, 4), jnp.float32)
+    rna = (jax.random.uniform(kr, (4, 2, 2, 64)) < 0.2
+           ).astype(jnp.float32) * 3
+    t = jnp.array([500], jnp.int32)
+    params = jax.jit(lambda k: model.init(k, x, t, rna, 2, 2))(kp)
+    return model, params, x, t, rna
+
+
+def test_model_forward_matches_golden():
+    gold = np.load(GOLDEN)
+    model, params, x, t, rna = _build()
+    col, orig = jax.jit(lambda p: model.apply(p, x, t, rna, 2, 2))(params)
+    np.testing.assert_allclose(np.asarray(col), gold["col"],
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(orig), gold["orig"],
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_denoise_step_matches_golden():
+    from tera_mind_tpu.diffusion.sampler import (DiffusionSampler,
+                                                 SamplerConfig)
+    from tera_mind_tpu.diffusion.schedule import spaced_schedule
+
+    gold = np.load(GOLDEN)
+    model, params, *_ = _build()
+    sched = spaced_schedule("linear", 1000, "ddim3")
+    sampler = DiffusionSampler(sched, SamplerConfig(patch_size=32, gn_sz=2))
+    xpad = jax.random.normal(jax.random.PRNGKey(7), (1, 96, 96, 4),
+                             jnp.float32)
+    rpat = (jax.random.uniform(jax.random.PRNGKey(8), (9, 2, 2, 64)) < 0.2
+            ).astype(jnp.float32)
+
+    def mf(xp, tm, rp, p1, p2):
+        return model.apply(params, xp, tm, rp, p1, p2)
+
+    step = jax.jit(lambda xp, rp: sampler.denoise_step(
+        mf, xp, rp, jnp.array([2], jnp.int32)))(xpad, rpat)
+    np.testing.assert_allclose(np.asarray(step), gold["denoise"],
+                               atol=2e-2, rtol=2e-2)
