@@ -56,6 +56,18 @@ def main():
         # this is numerically identical but halves param HBM traffic
         params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
 
+    if os.environ.get("BENCH_PACKED", "0") == "1":
+        # z-packed layout: exact re-parameterization that fills TPU lanes
+        # (models/unet_packed.py; golden-equivalence tested)
+        from tera_mind_tpu.models.unet_packed import (PackedTeraUNet,
+                                                      pack_unet_params)
+        params = pack_unet_params(
+            jax.tree.map(lambda p: np.asarray(p, np.float32), params),
+            conf.make_model_conf())
+        params = jax.tree.map(lambda p: jnp.asarray(p, jnp.bfloat16),
+                              params)
+        model = PackedTeraUNet(conf.make_model_conf())
+
     def model_fn(p, xp, tm, rp, p1, p2):
         # inference uses only the collage decode (base.py:387); params flow
         # through jit as an ARGUMENT (closures would embed 200M f32 consts

@@ -1,0 +1,88 @@
+"""z-packed layout: fold the z axis into channels to fill TPU lanes.
+
+Motivation (round-1 profile): the flagship model's z=2 voxel tensors have
+C=64 at the top level — the minor (lane) dimension is half-empty on a
+128-lane TPU, and norms/elementwise dominate step time.  Packing
+(B, Z, H, W, C) as (B, H, W, Z*C) doubles lane occupancy and removes a
+dimension from every layout decision.
+
+A 3D conv over z with kernel kz and SAME z-padding is EXACTLY a 2D conv on
+the packed layout with a block-structured kernel: for output z-plane zo,
+input z-plane zi contributes the 3D kernel's kz-slice (zi - zo + pad) —
+see :func:`pack_conv3d_kernel`.  So the packed model is a pure
+re-parameterization: weights transform, outputs match bit-for-bit up to
+float reassociation.
+
+Packing order is z-major: packed channel index = z * C + c.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pack_conv3d_kernel(w3, z: int):
+    """(kz, ky, kx, ci, co) 3D kernel (SAME z-pad (kz-1)//2) ->
+    (ky, kx, z*ci, z*co) packed 2D kernel."""
+    kz, ky, kx, ci, co = w3.shape
+    pad = (kz - 1) // 2
+    w2 = np.zeros((ky, kx, z * ci, z * co), w3.dtype)
+    for zo in range(z):
+        for zi in range(z):
+            k = zi - zo + pad
+            if 0 <= k < kz:
+                w2[:, :, zi * ci:(zi + 1) * ci, zo * co:(zo + 1) * co] = \
+                    np.asarray(w3[k])
+    return w2
+
+
+def pack_conv3d_bias(b, z: int):
+    """(co,) -> (z*co,): the same bias on every z plane."""
+    return np.tile(np.asarray(b), z)
+
+
+def pack_channel_param(p, z: int):
+    """Per-channel vector (C,) (norm weight etc.) -> (z*C,) tiled."""
+    return np.tile(np.asarray(p), z)
+
+
+def pack_features(x, z: int):
+    """jnp (B, Z, H, W, C) -> (B, H, W, Z*C), z-major channels."""
+    b, zz, h, w, c = x.shape
+    assert zz == z
+    return x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, z * c)
+
+
+def unpack_features(x, z: int):
+    """Inverse of :func:`pack_features`: (B, H, W, Z*C) -> (B, Z, H, W, C)."""
+    b, h, w, zc = x.shape
+    c = zc // z
+    return x.reshape(b, h, w, z, c).transpose(0, 3, 1, 2, 4)
+
+
+def group_concat(a, b_, z: int):
+    """Concat per z-group: (..., z*Ca) ++ (..., z*Cb) -> (..., z*(Ca+Cb))."""
+    import jax.numpy as jnp
+    lead = a.shape[:-1]
+    ca = a.shape[-1] // z
+    cb = b_.shape[-1] // z
+    a5 = a.reshape(*lead, z, ca)
+    b5 = b_.reshape(*lead, z, cb)
+    return jnp.concatenate([a5, b5], axis=-1).reshape(*lead, z * (ca + cb))
+
+
+def pixel_to_packed(x, z: int):
+    """(B, H, W, S*Z) stain-major pixel channels (c = s*z + zi,
+    unet_ours.py:105) -> z-major packed (B, H, W, Z*S)."""
+    b, h, w, sz = x.shape
+    s = sz // z
+    x = x.reshape(b, h, w, s, z)
+    return x.transpose(0, 1, 2, 4, 3).reshape(b, h, w, z * s)
+
+
+def packed_to_pixel(x, z: int):
+    """Inverse of :func:`pixel_to_packed`."""
+    b, h, w, zs = x.shape
+    s = zs // z
+    x = x.reshape(b, h, w, z, s)
+    return x.transpose(0, 1, 2, 4, 3).reshape(b, h, w, s * z)

@@ -1,0 +1,81 @@
+"""z-packed model: exact re-parameterization of the 5D flagship model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from pathlib import Path
+
+GOLDEN = Path(__file__).parent / "golden" / "teraunet_tiny.npz"
+
+
+def test_pack_conv3d_kernel_math():
+    """Packed 2D conv == 3D conv over z for both kernel shapes used."""
+    from tera_mind_tpu.ops.zpack import (pack_conv3d_bias,
+                                         pack_conv3d_kernel, pack_features,
+                                         unpack_features)
+
+    rng = np.random.default_rng(0)
+    z, h, w, ci, co = 2, 8, 8, 5, 7
+    x5 = jnp.asarray(rng.normal(0, 1, (3, z, h, w, ci)).astype(np.float32))
+    for kz in (1, 3):
+        w3 = rng.normal(0, 0.3, (kz, 3, 3, ci, co)).astype(np.float32)
+        b3 = rng.normal(0, 0.1, (co,)).astype(np.float32)
+        pad_z = (kz - 1) // 2
+        want = jax.lax.conv_general_dilated(
+            x5, jnp.asarray(w3), (1, 1, 1),
+            [(pad_z, pad_z), (1, 1), (1, 1)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b3
+        w2 = jnp.asarray(pack_conv3d_kernel(w3, z))
+        b2 = jnp.asarray(pack_conv3d_bias(b3, z))
+        xp = pack_features(x5, z)
+        got = jax.lax.conv_general_dilated(
+            xp, w2, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b2
+        got5 = unpack_features(got, z)
+        np.testing.assert_allclose(np.asarray(got5), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_pixel_pack_roundtrip():
+    from tera_mind_tpu.ops.zpack import packed_to_pixel, pixel_to_packed
+
+    x = jnp.arange(2 * 4 * 4 * 8).reshape(2, 4, 4, 8).astype(jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(packed_to_pixel(pixel_to_packed(x, 2), 2)), np.asarray(x))
+    # semantic check: pixel channel c = s*z + zi maps to packed zi*S + s
+    p = pixel_to_packed(x, 2)
+    np.testing.assert_array_equal(np.asarray(p[..., 0]),
+                                  np.asarray(x[..., 0]))   # zi=0,s=0 <- s=0,zi=0
+    np.testing.assert_array_equal(np.asarray(p[..., 1]),
+                                  np.asarray(x[..., 2]))   # zi=0,s=1 <- c=1*2+0
+
+
+def test_packed_model_matches_golden():
+    """PackedTeraUNet with transformed params reproduces the 5D golden
+    outputs (proves the layout change is a pure re-parameterization)."""
+    from tera_mind_tpu.models.unet import TeraUNetConfig
+    from tera_mind_tpu.models.unet_packed import (PackedTeraUNet,
+                                                  pack_unet_params)
+
+    conf = TeraUNetConfig(image_size=32, gn_sz=2, rna_num=16,
+                          rna_tpl=(0, 1, 2, 3), in_channels=4,
+                          out_channels=4, model_channels=8,
+                          embed_channels=32, dropout=0.0)
+    model5 = conf.make_model()
+    kx, kr, kp = jax.random.split(jax.random.PRNGKey(42), 3)
+    x = jax.random.normal(kx, (4, 32, 32, 4), jnp.float32)
+    rna = (jax.random.uniform(kr, (4, 2, 2, 64)) < 0.2
+           ).astype(jnp.float32) * 3
+    t = jnp.array([500], jnp.int32)
+    params5 = jax.jit(lambda k: model5.init(k, x, t, rna, 2, 2))(kp)
+
+    packed = PackedTeraUNet(conf)
+    paramsP = pack_unet_params(params5, conf)
+    colP, origP = jax.jit(
+        lambda p: packed.apply(p, x, t, rna, 2, 2))(paramsP)
+
+    gold = np.load(GOLDEN)
+    np.testing.assert_allclose(np.asarray(colP), gold["col"],
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(origP), gold["orig"],
+                               atol=2e-2, rtol=2e-2)
