@@ -36,11 +36,16 @@ def main():
     conf.compute_dtype = "bfloat16"
     model = conf.make_model_conf().make_model()
 
+    block_major = os.environ.get("BENCH_BLOCK_MAJOR", "1") == "1"
+    # window_chunk bounds activation memory per model call: a chunk is
+    # (windows x patches) UNet batch — block-major batches the whole block
+    # per window, so it chunks finer by default
     gconf = GeneratorConfig(tile=256, patch=64, gn_blk=16, snum=4,
                             n_slices=50, stains=2, gdim=500,
                             noise_backend="jax",
                             window_chunk=int(os.environ.get(
-                                "BENCH_WINDOW_CHUNK", "5")))
+                                "BENCH_WINDOW_CHUNK",
+                                "1" if block_major else "5")))
     sampler = DiffusionSampler(
         conf.make_eval_sampler(T=steps).schedule,
         SamplerConfig(patch_size=64, gn_sz=4))
@@ -56,8 +61,9 @@ def main():
         # this is numerically identical but halves param HBM traffic
         params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
 
-    if os.environ.get("BENCH_PACKED", "0") == "1":
-        # z-packed layout: exact re-parameterization that fills TPU lanes
+    if os.environ.get("BENCH_PACKED", "1") == "1":
+        # z-packed layout (DEFAULT): exact re-parameterization that fills
+        # TPU lanes — measured 0.137 vs 0.097 tiles/s for the 5D layout
         # (models/unet_packed.py; golden-equivalence tested)
         from tera_mind_tpu.models.unet_packed import (PackedTeraUNet,
                                                       pack_unet_params)
@@ -84,8 +90,15 @@ def main():
     dev_state = jnp.asarray(state)
     dev_gene = jnp.asarray(gene)
 
-    fused = os.environ.get("BENCH_FUSED", "0") == "1"
-    step = gen.compile_step(rows, cols) if fused else gen.compile_pieces()
+    # block-major (default): one patch grid over the whole block — ~19%
+    # fewer patches at 2x2 tiles (36% at scale), identical results
+    # (tests/test_generator.py::test_block_major_real_unet)
+    if block_major:
+        step = gen.compile_step(rows, cols, block_major=True)
+    elif os.environ.get("BENCH_FUSED", "0") == "1":
+        step = gen.compile_step(rows, cols)
+    else:
+        step = gen.compile_pieces()
 
     # warmup/compile
     out = step(dev_state, dev_gene, jnp.int32(steps - 1))

@@ -56,18 +56,27 @@ class RNATower(nn.Module):
 
     @nn.compact
     def __call__(self, rna_grid: jnp.ndarray, *, return_attn: bool = False
-                 ) -> Tuple[List[jnp.ndarray], Optional[jnp.ndarray]]:
+                 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray],
+                            Optional[jnp.ndarray]]:
+        """Returns (feats, pres, attn) with feats[i] == upsample_2x(pres[i]).
+
+        ``pres`` (the pre-upsample stage outputs) let consumers commute
+        spatial reshuffles with the upsample — the decoder collages pres at
+        quarter the elements (to_collage∘upsample == upsample∘to_collage
+        exactly for the even shapes here; tests/test_collage.py)."""
         och = [self.rna_num, 128, 64, 32]
         h, attn = GeneGeneBlock(
             hidden_size=self.gn_sz * self.gn_sz * self.z_rna,
             z_size=self.z_rna, dtype=self.dtype, name="gene_attn")(
                 rna_grid, return_attn=return_attn)
+        pres = [h]
         h = upsample_2x(h)
         feats = [h]
         for rid in range(1, 4):
             h = nn.silu(h)
             h = conv3d(och[rid], (1, 3, 3), dtype=self.dtype,
                        name=f"conv_{rid}")(h)
+            pres.append(h)
             h = upsample_2x(h)
             feats.append(h)
-        return feats, attn
+        return feats, pres, attn

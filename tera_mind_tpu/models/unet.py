@@ -25,7 +25,8 @@ from flax import linen as nn
 from ..ops.collage import to_collage
 from .attention import DiTBlock
 from .blocks import ResBlock3D
-from .nn import RMSNorm, TimeEmbed, conv3d, timestep_embedding
+from .nn import (RMSNorm, TimeEmbed, conv3d, timestep_embedding,
+                 upsample_2x)
 from .rna import RNATower, rna_grid_from_dense
 
 
@@ -114,9 +115,9 @@ class TeraUNet(nn.Module):
         # ---- RNA tower (stage r has spatial 2^(r+1)*gn_sz, matching level
         #      resolutions from the bottom up; unet_ours.py:277-296)
         rna_grid = rna_grid_from_dense(rna.astype(dt), z_rna, conf.rna_num)
-        rna_feats, _ = RNATower(rna_num=conf.rna_num, z_rna=z_rna,
-                                gn_sz=conf.gn_sz, dtype=dt,
-                                name="rna_tower")(rna_grid)
+        rna_feats, rna_pres, _ = RNATower(rna_num=conf.rna_num, z_rna=z_rna,
+                                          gn_sz=conf.gn_sz, dtype=dt,
+                                          name="rna_tower")(rna_grid)
 
         # ---- pixel -> voxel
         bp, ps, _, _ = x.shape
@@ -221,11 +222,14 @@ class TeraUNet(nn.Module):
             k = 0
             for i in range(nlvl):
                 lvl = nlvl - 1 - i
-                rcnd = rna_feats[i]
                 if o == 0:
                     if i == 0:
                         hdec = to_collage(hdec, p1, p2)
-                    rcnd = to_collage(rcnd, p1, p2)
+                    # collage the PRE-upsample rna stage (4x fewer elements)
+                    # and upsample after — exactly equal (rna.py docstring)
+                    rcnd = upsample_2x(to_collage(rna_pres[i], p1, p2))
+                else:
+                    rcnd = rna_feats[i]
                 for j in range(nrb + 1):
                     hcnd = skips[lvl].pop()
                     if o == 0:

@@ -6,16 +6,19 @@ lane occupancy at the top level (C=64 -> 128 lanes) and removing the z
 axis from every norm/elementwise/copy op, which the round-1 profile
 showed dominate step time (convs are ~2%).
 
-Measured result (round 1, bench.py BENCH_PACKED=1): 0.0889 tiles/s vs
-0.0946 for the 5D layout — the z-group concat reshapes (strided scatters
-per skip/rna concat) cost more than the lane-occupancy win, so the 5D
-layout REMAINS THE DEFAULT.  Kept as an exact-reparameterization tool and
-a starting point for a block-contiguous-packing variant (plain concats,
-permutation absorbed into conv kernels) if revisited.
+Layout: SEGMENT-MAJOR.  Every single tensor is z-major packed
+(idx = zi*C + c); skip/rna concats are PLAIN ``jnp.concatenate`` along
+channels, leaving each concatenated segment z-major internally.  The
+channel permutation this implies (vs a z-major view of the concatenated
+5D channels) is absorbed into the consuming conv kernels at
+parameter-pack time (ops/zpack.py ``seg_perm``), so the hot path has NO
+interleaving reshapes.  (The first packed attempt interleaved z-groups at
+runtime — ``group_concat`` strided scatters — and measured SLOWER than 5D,
+0.0889 vs 0.0946 tiles/s; this layout removes exactly that cost.)
 
 Equivalence: a trained 5D model's params convert EXACTLY via
-:func:`pack_unet_params` (3D kernels become block-structured 2D kernels,
-ops/zpack.py) — outputs match the 5D model up to float reassociation
+:func:`pack_unet_params` (3D kernels become block-structured, row-permuted
+2D kernels) — outputs match the 5D model up to float reassociation
 (golden-tested).  Attention blocks and the RNA tower run unchanged in 5D
 (resolution-16 tensors are small; the pack/unpack there is two cheap
 reshapes), so their param subtrees are shared verbatim.
@@ -35,7 +38,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.collage import to_collage
-from ..ops.zpack import (group_concat, pack_conv3d_bias, pack_conv3d_kernel,
+from ..ops.zpack import (pack_conv3d_bias, pack_conv3d_kernel,
                          pack_channel_param, pack_features, packed_to_pixel,
                          pixel_to_packed, unpack_features)
 from .attention import DiTBlock
@@ -47,25 +50,48 @@ import jax
 
 
 class GroupedRMSNorm(nn.Module):
-    """RMSNorm over each z-group of C channels of a (.., Z*C) tensor.
+    """RMSNorm over each z-plane's channels of a packed (.., Z*C) tensor.
 
-    Param shape (Z*C,) = the 5D norm's (C,) weight tiled z times, so
-    converted params load directly."""
+    The 5D norm takes RMS over ALL channels at each (z, h, w) position
+    (nn.RMSNorm / reference MBAblocks.py:21-43); here those channels may be
+    spread across plainly-concatenated segments (each z-major internally),
+    so the statistics sum per segment and the normalization is applied
+    slice-wise.  Param shape (Z*Ctot,) in the RUNTIME (segment-major)
+    layout — the converter permutes accordingly."""
 
     z: int
+    segments: Optional[Tuple[int, ...]] = None
     eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         zc = x.shape[-1]
-        c = zc // self.z
+        z = self.z
         weight = self.param("weight", nn.initializers.ones, (zc,))
-        lead = x.shape[:-1]
-        xg = x.reshape(*lead, self.z, c)
-        var = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=-1,
-                       keepdims=True)
-        inv = jax.lax.rsqrt(var + self.eps)
-        y = (xg * inv.astype(x.dtype)).reshape(*lead, zc)
+        segs = self.segments or (zc // z,)
+        ctot = int(sum(segs))
+        assert z * ctot == zc, (segs, z, zc)
+
+        # All channel-dim work stays on the MINOR axis via static slices —
+        # a (.., Z*C) -> (.., Z, C) reshape would split the lane dimension
+        # into sublanes, and the relayout copies it forces made norms the
+        # top cost of the whole packed step (round-1 profile #2).
+        slices = []            # (zi, lo, hi) per contiguous z-plane slice
+        off = 0
+        for cs in segs:
+            for zi in range(z):
+                slices.append((zi, off + zi * cs, off + (zi + 1) * cs))
+            off += z * cs
+
+        ssum = [None] * z      # per-z sum of squares, (lead..., 1) f32
+        for zi, lo, hi in slices:
+            s = jnp.sum(jnp.square(x[..., lo:hi].astype(jnp.float32)),
+                        axis=-1, keepdims=True)
+            ssum[zi] = s if ssum[zi] is None else ssum[zi] + s
+        inv = [jax.lax.rsqrt(s / ctot + self.eps).astype(x.dtype)
+               for s in ssum]
+        y = jnp.concatenate([x[..., lo:hi] * inv[zi]
+                             for zi, lo, hi in slices], axis=-1)
         return (y * weight.astype(x.dtype)).astype(x.dtype)
 
 
@@ -90,10 +116,15 @@ def conv2p(features, kernel=(3, 3), *, zero_init=False, dtype=None,
 
 
 class PackedResBlock(nn.Module):
-    """ResBlock3D on the packed layout; param names match ResBlock3D."""
+    """ResBlock3D on the packed layout; param names match ResBlock3D.
+
+    ``in_segments``: per-z channel counts of the plainly-concatenated
+    z-major segments forming the input (skip/rna concats); the in_norm
+    statistics and the converted in_/skip_conv kernels account for it."""
 
     out_channels: int          # per-z channels C (NOT Z*C)
     z: int
+    in_segments: Optional[Tuple[int, ...]] = None
     dropout: float = 0.0
     up: bool = False
     down: bool = False
@@ -108,7 +139,8 @@ class PackedResBlock(nn.Module):
         in_zc = x.shape[-1]
         out_zc = z * self.out_channels
 
-        h = GroupedRMSNorm(z=z, name="in_norm")(x.astype(dt))
+        h = GroupedRMSNorm(z=z, segments=self.in_segments,
+                           name="in_norm")(x.astype(dt))
         h = nn.silu(h)
         if self.up:
             h, x = _up2(h), _up2(x)
@@ -168,10 +200,12 @@ class PackedTeraUNet(nn.Module):
         emb_col = jnp.repeat(emb_b, (p1 - 1) * (p2 - 1), axis=0)
 
         rna_grid = rna_grid_from_dense(rna.astype(dt), z_rna, conf.rna_num)
-        rna_feats5, _ = RNATower(rna_num=conf.rna_num, z_rna=z_rna,
-                                 gn_sz=conf.gn_sz, dtype=dt,
-                                 name="rna_tower")(rna_grid)
+        rna_feats5, rna_pres5, _ = RNATower(rna_num=conf.rna_num,
+                                            z_rna=z_rna,
+                                            gn_sz=conf.gn_sz, dtype=dt,
+                                            name="rna_tower")(rna_grid)
         rna_feats = [pack_features(f, z) for f in rna_feats5]
+        rna_pres = [pack_features(f, z) for f in rna_pres5]
 
         bp, ps, _, _ = x.shape
         h = pixel_to_packed(x.astype(dt), z)
@@ -199,9 +233,11 @@ class PackedTeraUNet(nn.Module):
             rfeat = rna_feats[nlvl - 1 - lvl]
             rfeat5 = rna_feats5[nlvl - 1 - lvl]
             for _ in range(nrb):
-                h = group_concat(h, rfeat, z)
+                segs = (h.shape[-1] // z, rfeat.shape[-1] // z)
+                h = jnp.concatenate([h, rfeat], axis=-1)
                 h = PackedResBlock(out_channels=mult * conf.model_channels,
-                                   z=z, dropout=conf.dropout,
+                                   z=z, in_segments=segs,
+                                   dropout=conf.dropout,
                                    compute_dtype=dt,
                                    use_zero_module=conf.use_zero_module,
                                    name=f"enc_{k}_res")(
@@ -215,8 +251,10 @@ class PackedTeraUNet(nn.Module):
                 hid[lvl].append(h)
                 k += 1
 
-        h = group_concat(h, rna_feats[0], z)
+        segs = (h.shape[-1] // z, rna_feats[0].shape[-1] // z)
+        h = jnp.concatenate([h, rna_feats[0]], axis=-1)
         h = PackedResBlock(out_channels=h.shape[-1] // z - rna_och[0], z=z,
+                           in_segments=segs,
                            dropout=conf.dropout, compute_dtype=dt,
                            use_zero_module=conf.use_zero_module,
                            name="mid_res0")(h, emb_orig,
@@ -234,15 +272,20 @@ class PackedTeraUNet(nn.Module):
         dec_res, dec_attn, dec_up = [], [], []
         res = resolution
         k = 0
+        dch = h.shape[-1] // z
+        skips_ch = [[s.shape[-1] // z for s in level] for level in hid]
         for i in range(nlvl):
             lvl = nlvl - 1 - i
             mult = conf.channel_mult[lvl]
             for j in range(nrb + 1):
+                sk_ch = skips_ch[lvl].pop()
                 dec_res.append(PackedResBlock(
                     out_channels=mult * conf.model_channels, z=z,
+                    in_segments=(dch, sk_ch, rna_och[i]),
                     dropout=conf.dropout, compute_dtype=dt,
                     use_zero_module=conf.use_zero_module,
                     name=f"dec_{k}_res"))
+                dch = mult * conf.model_channels
                 dec_attn.append(DiTBlock(
                     hidden_size=mult * conf.model_channels,
                     num_heads=conf.num_heads, n_win=2, dtype=dt,
@@ -276,14 +319,15 @@ class PackedTeraUNet(nn.Module):
                 if o == 0:
                     if i == 0:
                         hdec = _collage4(hdec, p1, p2)
-                    rcnd = _collage4(rcnd, p1, p2)
+                    # collage the pre-upsample stage: 4x fewer elements,
+                    # exactly equal (rna.py docstring)
+                    rcnd = _up2(_collage4(rna_pres[i], p1, p2))
                     rcnd5 = to_collage(rcnd5, p1, p2)
                 for j in range(nrb + 1):
                     hcnd = skips[lvl].pop()
                     if o == 0:
                         hcnd = _collage4(hcnd, p1, p2)
-                    hdec = group_concat(group_concat(hdec, hcnd, z),
-                                        rcnd, z)
+                    hdec = jnp.concatenate([hdec, hcnd, rcnd], axis=-1)
                     hdec = dec_res[k](hdec, emb,
                                       deterministic=deterministic)
                     if dec_attn[k] is not None:
@@ -305,27 +349,71 @@ class PackedTeraUNet(nn.Module):
 # --------------------------------------------------------------------- #
 # 5D -> packed parameter transform                                       #
 # --------------------------------------------------------------------- #
+def _block_segments(conf: TeraUNetConfig) -> Dict[str, Tuple[int, ...]]:
+    """Per-block INPUT segment structure (per-z channel counts), mirroring
+    the forward's plain-concat sites.  Blocks absent from the map have
+    single-segment inputs."""
+    mc = conf.model_channels
+    nrb = conf.num_res_blocks
+    nlvl = len(conf.channel_mult)
+    rna_och = _rna_channels(conf.rna_num)
+    segs: Dict[str, Tuple[int, ...]] = {}
+    ch = mc
+    hid_ch: List[List[int]] = [[mc]]
+    k = 1
+    for lvl, mult in enumerate(conf.channel_mult):
+        if lvl > 0:
+            k += 1
+            hid_ch.append([ch])
+        rch = rna_och[nlvl - 1 - lvl]
+        for _ in range(nrb):
+            segs[f"enc_{k}_res"] = (ch, rch)
+            ch = mult * mc
+            hid_ch[lvl].append(ch)
+            k += 1
+    segs["mid_res0"] = (ch, rna_och[0])
+    dch = ch
+    k = 0
+    skips = [list(level) for level in hid_ch]
+    for i in range(nlvl):
+        lvl = nlvl - 1 - i
+        mult = conf.channel_mult[lvl]
+        for _ in range(nrb + 1):
+            sk = skips[lvl].pop()
+            segs[f"dec_{k}_res"] = (dch, sk, rna_och[i])
+            dch = mult * mc
+            k += 1
+    return segs
+
+
 def pack_unet_params(params5: Dict, conf: TeraUNetConfig) -> Dict:
     """Transform a TeraUNet param tree into PackedTeraUNet's.
 
-    Conv3d kernels become block-structured 2D kernels; norm weights tile
-    over z; attention / RNA tower / time-embed subtrees pass through."""
+    Conv3d kernels become block-structured 2D kernels with input rows
+    permuted to the segment-major runtime layout; norm weights tile over z
+    (segment-aware for concat inputs); attention / RNA tower / time-embed
+    subtrees pass through."""
     z = conf.z_size
+    segmap = _block_segments(conf)
     p5 = params5["params"] if "params" in params5 else params5
     out: Dict = {}
     for name, sub in p5.items():
         if name.endswith("_res") or name in ("mid_res0", "mid_res1") \
                 or name.endswith("_up"):
+            segs = segmap.get(name)
             blk = {}
             for lname, lv in sub.items():
                 if lname in ("in_conv", "out_conv", "skip_conv"):
+                    in_segs = segs if lname in ("in_conv",
+                                                "skip_conv") else None
                     blk[lname] = {
                         "kernel": pack_conv3d_kernel(
-                            np.asarray(lv["kernel"]), z),
+                            np.asarray(lv["kernel"]), z, segments=in_segs),
                         "bias": pack_conv3d_bias(lv["bias"], z)}
                 elif lname in ("in_norm", "out_norm"):
+                    in_segs = segs if lname == "in_norm" else None
                     blk[lname] = {"weight": pack_channel_param(
-                        lv["weight"], z)}
+                        lv["weight"], z, segments=in_segs)}
                 else:
                     blk[lname] = lv
             out[name] = blk

@@ -115,7 +115,7 @@ class PatchDMUNet(nn.Module):
 
         # ---- RNA tower (decoder-only conditioning) ------------------------
         rna_grid = rna_grid_from_dense(rna.astype(dt), z_rna, conf.rna_num)
-        rna_feats, _ = RNATower(rna_num=conf.rna_num, z_rna=z_rna,
+        rna_feats, _, _ = RNATower(rna_num=conf.rna_num, z_rna=z_rna,
                                 gn_sz=conf.gn_sz, dtype=dt,
                                 name="rna_tower")(rna_grid)
 

@@ -130,7 +130,7 @@ class SinfNet(nn.Module):
 
         # RNA tower; only the full-resolution stage conditions this model
         rna_grid = rna_grid_from_dense(rna.astype(dt), z_rna, conf.rna_num)
-        rna_feats, _ = RNATower(rna_num=conf.rna_num, z_rna=z_rna,
+        rna_feats, _, _ = RNATower(rna_num=conf.rna_num, z_rna=z_rna,
                                 gn_sz=conf.gn_sz, dtype=dt,
                                 name="rna_tower")(rna_grid)
         rfull = rna_feats[-1]                       # (Bp, z2, ps, ps, 32)

@@ -21,9 +21,36 @@ from __future__ import annotations
 import numpy as np
 
 
-def pack_conv3d_kernel(w3, z: int):
+def seg_perm(z: int, segments) -> np.ndarray:
+    """Map segment-major packed channel indices to z-major ones.
+
+    A PLAIN concat of per-segment z-major packed tensors yields the
+    segment-major layout: idx = z*offset_s + zi*c_s + c.  The z-major
+    layout over the same concatenated channels is idx = zi*Ctot + off_s + c.
+    Returns ``perm`` with ``new[n] = old[perm[n]]`` — used to reorder conv
+    kernel input rows so runtime concats need NO interleaving reshapes
+    (the round-1 packed experiment's cost, unet_packed.py docstring).
+    """
+    ctot = int(sum(segments))
+    perm = np.empty(z * ctot, np.int64)
+    n = 0
+    off = 0
+    for cs in segments:
+        for zi in range(z):
+            for c in range(cs):
+                perm[n] = zi * ctot + off + c
+                n += 1
+        off += cs
+    return perm
+
+
+def pack_conv3d_kernel(w3, z: int, segments=None):
     """(kz, ky, kx, ci, co) 3D kernel (SAME z-pad (kz-1)//2) ->
-    (ky, kx, z*ci, z*co) packed 2D kernel."""
+    (ky, kx, z*ci, z*co) packed 2D kernel.
+
+    ``segments``: per-z channel counts of plainly-concatenated z-major
+    inputs; when given, kernel input rows are permuted to the segment-major
+    runtime layout (see :func:`seg_perm`)."""
     kz, ky, kx, ci, co = w3.shape
     pad = (kz - 1) // 2
     w2 = np.zeros((ky, kx, z * ci, z * co), w3.dtype)
@@ -33,6 +60,9 @@ def pack_conv3d_kernel(w3, z: int):
             if 0 <= k < kz:
                 w2[:, :, zi * ci:(zi + 1) * ci, zo * co:(zo + 1) * co] = \
                     np.asarray(w3[k])
+    if segments is not None:
+        assert int(sum(segments)) == ci, (segments, ci)
+        w2 = w2[:, :, seg_perm(z, segments), :]
     return w2
 
 
@@ -41,9 +71,21 @@ def pack_conv3d_bias(b, z: int):
     return np.tile(np.asarray(b), z)
 
 
-def pack_channel_param(p, z: int):
-    """Per-channel vector (C,) (norm weight etc.) -> (z*C,) tiled."""
-    return np.tile(np.asarray(p), z)
+def pack_channel_param(p, z: int, segments=None):
+    """Per-channel vector (C,) (norm weight etc.) -> (z*C,) tiled.
+
+    With ``segments`` the output follows the segment-major layout of a
+    plain concat (each segment's C-slice tiled z times, segments
+    concatenated)."""
+    p = np.asarray(p)
+    if segments is None:
+        return np.tile(p, z)
+    out, off = [], 0
+    for cs in segments:
+        out.append(np.tile(p[off:off + cs], z))
+        off += cs
+    assert off == p.shape[0], (segments, p.shape)
+    return np.concatenate(out)
 
 
 def pack_features(x, z: int):

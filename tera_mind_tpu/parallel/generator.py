@@ -37,6 +37,40 @@ from ..ops.collage import patchify
 from .halo import exchange_halo_2d, pad_halo_single
 
 
+def assemble_bins(tiles: jnp.ndarray, nb: int, hb: int) -> jnp.ndarray:
+    """Per-tile padded gene-bin arrays -> one padded global bin grid.
+
+    tiles: (R, C, g, g, ...) where g = nb + 2*hb (each tile's bins plus an
+    ``hb``-bin halo on every side, the on-disk layout of the reference's
+    overlap gene arrays, MBADataset_tst.py:80-89).  Output:
+    (R*nb + 2*hb, C*nb + 2*hb, ...).  Overlapping bins between neighboring
+    tiles are assumed consistent (they come from the same gene field); each
+    output bin is taken from exactly one tile, interiors from their owner,
+    the border ring from the edge tiles' own halos.
+    """
+    R, C, g1, g2 = tiles.shape[:4]
+    assert g1 == g2 == nb + 2 * hb, (g1, g2, nb, hb)
+    trail = tiles.shape[4:]
+
+    def grid(block):  # (R, C, a, b, ...) -> (R*a, C*b, ...)
+        r, c, a, b = block.shape[:4]
+        x = block.transpose(0, 2, 1, 3, *range(4, block.ndim))
+        return x.reshape(r * a, c * b, *trail)
+
+    inner = grid(tiles[:, :, hb:hb + nb, hb:hb + nb])        # (R*nb, C*nb)
+    left = grid(tiles[:, :1, hb:hb + nb, :hb])               # (R*nb, hb)
+    right = grid(tiles[:, -1:, hb:hb + nb, hb + nb:])
+    mid = jnp.concatenate([left, inner, right], axis=1)
+    top = jnp.concatenate(
+        [tiles[0, 0, :hb, :hb], grid(tiles[:1, :, :hb, hb:hb + nb])[:hb],
+         tiles[0, -1, :hb, hb + nb:]], axis=1)
+    bot = jnp.concatenate(
+        [tiles[-1, 0, hb + nb:, :hb],
+         grid(tiles[-1:, :, hb + nb:, hb:hb + nb])[:hb],
+         tiles[-1, -1, hb + nb:, hb + nb:]], axis=1)
+    return jnp.concatenate([top, mid, bot], axis=0)
+
+
 @dataclasses.dataclass(frozen=True)
 class GeneratorConfig:
     tile: int = 256
@@ -197,6 +231,82 @@ class TeraGenerator:
         out = out.transpose(1, 2, 3, 0, 4).reshape(c.tile, c.tile, c.channels)
         return out
 
+    # -------------------------------------------------------------- #
+    # block-major step: patchify the WHOLE local block once            #
+    # -------------------------------------------------------------- #
+    def _window_update(self, params, padded: jnp.ndarray,
+                       gene_tiles: jnp.ndarray, t: jnp.ndarray
+                       ) -> jnp.ndarray:
+        """Denoise every tile of a halo-padded block in ONE patch grid.
+
+        Semantically identical to per-tile windows (each 64^2 patch sees the
+        same pixels/genes, and to_collage mixes only adjacent patches — the
+        tile path's halo copies equal the real neighbor state), but each
+        patch is computed ONCE: per tile the tile path runs (tile/patch+1)^2
+        patches, the block path amortizes the +1 halo ring across the block
+        — 25 -> ~16 patches/tile at scale, a ~36% FLOP cut, and one big
+        batch per z-window instead of per-tile dispatches.
+
+        padded:     (R*tile + 2*pad, C*tile + 2*pad, channels)
+        gene_tiles: (R, C, gsz, gsz, z_pad, G) per-tile padded gene bins
+        Returns (R*tile, C*tile, channels).
+        """
+        c = self.conf
+        mf = lambda *a: self._apply(params, *a)
+        hp, wp = padded.shape[:2]
+        H, W = hp - 2 * c.pad, wp - 2 * c.pad
+
+        # z-window unfold of the whole padded block (stain-major channels)
+        x = padded.reshape(hp, wp, c.stains, c.n_win, c.zi)
+        x = x.transpose(3, 0, 1, 2, 4).reshape(c.n_win, hp, wp,
+                                               c.stains * c.zi)
+
+        # one padded global bin grid for the block (uint8 until sliced)
+        nb, hb = c.tile // c.gn_blk, c.pad // c.gn_blk
+        assert c.pad % c.gn_blk == 0, (c.pad, c.gn_blk)
+        g = assemble_bins(gene_tiles, nb, hb)    # (GH, GW, z_pad, G)
+        GH, GW = g.shape[:2]
+
+        chunk = self.conf.window_chunk or c.n_win
+        assert c.n_win % chunk == 0, (c.n_win, chunk)
+        t_b = jnp.full((chunk,), t, jnp.int32)
+        gn_per_patch = c.patch // c.gn_blk
+
+        def run_windows(xw, w0):
+            """Denoise ``chunk`` consecutive z-windows starting at w0."""
+            rws = [lax.dynamic_slice_in_dim(g, (w0 + j) * c.zi, c.snum,
+                                            axis=2) for j in range(chunk)]
+            rw = jnp.stack(rws).astype(jnp.float32)
+            rw = rw.reshape(chunk, GH, GW, c.snum * g.shape[-1])
+            rp = patchify(rw, gn_per_patch)
+            return self.sampler.denoise_step(mf, xw, rp, t_b)
+
+        if chunk == c.n_win:
+            out = run_windows(x, 0)
+        else:
+            def wbody(carry, i):
+                xw = lax.dynamic_slice_in_dim(x, i * chunk, chunk, axis=0)
+                return carry, run_windows(xw, i * chunk)
+
+            _, outs = lax.scan(wbody, 0, jnp.arange(c.n_win // chunk))
+            out = outs.reshape(c.n_win, H, W, c.stains * c.zi)
+
+        out = out.reshape(c.n_win, H, W, c.stains, c.zi)
+        return out.transpose(1, 2, 3, 0, 4).reshape(H, W, c.channels)
+
+    def _block_major_step(self, params, state: jnp.ndarray,
+                          gene: jnp.ndarray, t: jnp.ndarray, *,
+                          sharded: bool) -> jnp.ndarray:
+        """One timestep over the local block, block-major."""
+        c = self.conf
+        if sharded:
+            padded = exchange_halo_2d(state, c.pad, row_axis=self.row_axis,
+                                      col_axis=self.col_axis, fill=-1.0)
+        else:
+            padded = pad_halo_single(state, c.pad, fill=-1.0)
+        out = self._window_update(params, padded, gene, t)
+        return out.astype(state.dtype)
+
     def _block_step(self, params, state: jnp.ndarray, gene: jnp.ndarray,
                     t: jnp.ndarray, *, sharded: bool) -> jnp.ndarray:
         """One timestep over the local (R_loc, C_loc) tile block."""
@@ -245,15 +355,23 @@ class TeraGenerator:
 
         return step
 
-    def compile_step(self, rows: int, cols: int):
-        """Build the jitted per-step function for a fixed grid shape."""
+    def compile_step(self, rows: int, cols: int, *,
+                     block_major: bool = False):
+        """Build the jitted per-step function for a fixed grid shape.
+
+        block_major=True uses the single-patch-grid step (one patchify of
+        the whole local block; see :meth:`_window_update`) instead of the
+        per-tile window scan — same results, ~36% less model compute at
+        scale.
+        """
+        body = self._block_major_step if block_major else self._block_step
         sharded = self.mesh is not None and np.prod(self.mesh.devices.shape) > 1
         if sharded:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from jax.experimental.shard_map import shard_map
             mesh = self.mesh
             fn = shard_map(
-                partial(self._block_step, sharded=True),
+                partial(body, sharded=True),
                 mesh=mesh,
                 in_specs=(P(),  # params replicated
                           P(self.row_axis, self.col_axis),
@@ -262,7 +380,7 @@ class TeraGenerator:
                 check_rep=False)
             compiled = jax.jit(fn)
         else:
-            compiled = jax.jit(partial(self._block_step, sharded=False))
+            compiled = jax.jit(partial(body, sharded=False))
         return lambda state, gene, t: compiled(self.params, state, gene, t)
 
     # -------------------------------------------------------------- #
@@ -273,6 +391,7 @@ class TeraGenerator:
             start_t: Optional[int] = None,
             checkpoint: Optional[StateCheckpoint] = None,
             checkpoint_every: int = 0, fused: bool = True,
+            block_major: bool = False,
             progress: bool = True) -> np.ndarray:
         """Generate the (rows x cols) tile grid; returns the final image.
 
@@ -300,8 +419,8 @@ class TeraGenerator:
         if start_t is None:
             start_t = T
 
-        step = self.compile_step(rows, cols) if fused \
-            else self.compile_pieces()
+        step = self.compile_step(rows, cols, block_major=block_major) \
+            if fused else self.compile_pieces()
         dev_state = jnp.asarray(state)
         dev_gene = jnp.asarray(gene_grid)
         import time as _time

@@ -109,6 +109,9 @@ class StreamConfig:
     checkpoint_every: int = 0
     memmap_dir: Optional[str] = None
     progress: bool = True
+    block_major: bool = False  # one patch grid per window (see
+                               # TeraGenerator._window_update): same result,
+                               # fewer patches + bigger batches
 
 
 class StreamingGenerator:
@@ -133,6 +136,8 @@ class StreamingGenerator:
         Returns (br*tile, bc*tile, ch)."""
         c = self.gen.conf
         br, bc = gene_blk.shape[:2]
+        if self.sconf.block_major:
+            return self.gen._window_update(params, padded, gene_blk, t)
 
         def body(carry, idx):
             r, cc = idx // bc, idx % bc

@@ -112,6 +112,129 @@ def test_halo_consistency_between_neighbor_tiles(setup):
     np.testing.assert_array_equal(win00[:c.pad, :], -1.0)
 
 
+def _consistent_gene(rng, rows, cols):
+    """Per-tile padded gene arrays sliced from ONE global field, so
+    neighboring tiles' overlap bins agree (as real data does)."""
+    c = GCONF
+    nb, hb = c.tile // c.gn_blk, c.pad // c.gn_blk
+    field = rng.integers(0, 3, (rows * nb + 2 * hb, cols * nb + 2 * hb,
+                                c.z_pad, c.gdim)).astype(np.uint8)
+    tiles = np.stack([
+        np.stack([field[r * nb: r * nb + nb + 2 * hb,
+                        cc * nb: cc * nb + nb + 2 * hb]
+                  for cc in range(cols)]) for r in range(rows)])
+    return field, tiles
+
+
+def test_assemble_bins_roundtrip():
+    """assemble_bins must reconstruct the global field the tiles came from."""
+    from tera_mind_tpu.parallel.generator import assemble_bins
+    c = GCONF
+    nb, hb = c.tile // c.gn_blk, c.pad // c.gn_blk
+    rng = np.random.default_rng(3)
+    field, tiles = _consistent_gene(rng, 3, 2)
+    out = np.asarray(assemble_bins(jnp.asarray(tiles), nb, hb))
+    np.testing.assert_array_equal(out, field)
+
+
+def test_block_major_matches_tile_path(setup):
+    """The block-major step (one global patch grid) must reproduce the
+    per-tile-window step: every patch sees identical pixels/genes and the
+    collage mixes identical neighbor values."""
+    sampler, gen, _ = setup
+    rng = np.random.default_rng(7)
+    _, gene = _consistent_gene(rng, 2, 2)
+    state = gen.init_state(2, 2, row0=1, col0=1, grid_w=16)
+    t = jnp.int32(1)
+    tile_out = np.asarray(gen.compile_step(2, 2)(
+        jnp.asarray(state), jnp.asarray(gene), t))
+    blk_out = np.asarray(gen.compile_step(2, 2, block_major=True)(
+        jnp.asarray(state), jnp.asarray(gene), t))
+    np.testing.assert_allclose(blk_out, tile_out, atol=1e-5)
+
+
+def test_block_major_matches_tile_path_chunked(setup):
+    """Window-chunked block-major (lax.scan over z-window groups) ==
+    unchunked."""
+    import dataclasses
+    sampler, gen, _ = setup
+    rng = np.random.default_rng(8)
+    _, gene = _consistent_gene(rng, 2, 2)
+    state = gen.init_state(2, 2, row0=1, col0=1, grid_w=16)
+    full = np.asarray(gen.compile_step(2, 2, block_major=True)(
+        jnp.asarray(state), jnp.asarray(gene), jnp.int32(0)))
+    gconf_c = dataclasses.replace(GCONF, window_chunk=1)
+    gen_c = TeraGenerator(sampler, leaky_model, gconf_c)
+    chunked = np.asarray(gen_c.compile_step(2, 2, block_major=True)(
+        jnp.asarray(state), jnp.asarray(gene), jnp.int32(0)))
+    np.testing.assert_allclose(chunked, full, atol=1e-6)
+
+
+def test_block_major_real_unet():
+    """Block-major == tile path through the REAL TeraUNet (tiny config):
+    the proof that to_collage on the global grid equals per-tile collage
+    with halo copies."""
+    from tera_mind_tpu.models.unet import TeraUNet, TeraUNetConfig
+
+    gc = GeneratorConfig(tile=64, patch=32, gn_blk=16, snum=4, n_slices=4,
+                         stains=1, gdim=6, noise_backend="jax")
+    mconf = TeraUNetConfig(image_size=32, in_channels=2, out_channels=2,
+                           model_channels=8, embed_channels=32,
+                           num_res_blocks=1, channel_mult=(1, 2, 4, 8),
+                           attention_resolutions=(8,), rna_num=6,
+                           gn_sz=2, dropout=0.0)
+    model = TeraUNet(mconf)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((4, 32, 32, 2))
+    r0 = jnp.zeros((4, 2, 2, 4 * 6))
+    params = model.init(rng, x0, jnp.zeros((1,), jnp.int32), r0, 2, 2)
+
+    def model_fn(p, xp, tm, rp, p1, p2):
+        return model.apply(p, xp, tm, rp, p1, p2, decode_original=False)
+
+    sched = spaced_schedule("linear", 1000, "ddim3")
+    sampler = DiffusionSampler(
+        sched, SamplerConfig(patch_size=32, gn_sz=2))
+    gen = TeraGenerator(sampler, model_fn, gc, params=params)
+    nprng = np.random.default_rng(9)
+    nb, hb = gc.tile // gc.gn_blk, gc.pad // gc.gn_blk
+    field = nprng.integers(0, 3, (2 * nb + 2 * hb, 2 * nb + 2 * hb,
+                                  gc.z_pad, gc.gdim)).astype(np.uint8)
+    gene = np.stack([
+        np.stack([field[r * nb: r * nb + nb + 2 * hb,
+                        cc * nb: cc * nb + nb + 2 * hb]
+                  for cc in range(2)]) for r in range(2)])
+    state = gen.init_state(2, 2, row0=1, col0=1, grid_w=16)
+    tile_out = np.asarray(gen.compile_step(2, 2)(
+        jnp.asarray(state), jnp.asarray(gene), jnp.int32(2)))
+    blk_out = np.asarray(gen.compile_step(2, 2, block_major=True)(
+        jnp.asarray(state), jnp.asarray(gene), jnp.int32(2)))
+    np.testing.assert_allclose(blk_out, tile_out, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.cpu_mesh
+def test_sharded_block_major_equals_single_device(setup):
+    """Block-major under shard_map (ppermute halo) == single device."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    sampler, gen, _ = setup
+    rng = np.random.default_rng(11)
+    _, gene = _consistent_gene(rng, 2, 2)
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("gr", "gc"))
+    gen_sh = TeraGenerator(sampler, leaky_model, GCONF, mesh=mesh)
+    state = gen.init_state(2, 2, row0=1, col0=1, grid_w=16)
+    single = np.asarray(gen.compile_step(2, 2, block_major=True)(
+        jnp.asarray(state), jnp.asarray(gene), jnp.int32(1)))
+    st = jax.device_put(jnp.asarray(state),
+                        NamedSharding(mesh, P("gr", "gc", None)))
+    ge = jax.device_put(jnp.asarray(gene),
+                        NamedSharding(mesh, P("gr", "gc")))
+    sharded = np.asarray(gen_sh.compile_step(2, 2, block_major=True)(
+        st, ge, jnp.int32(1)))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
 @pytest.mark.cpu_mesh
 def test_sharded_step_equals_single_device(setup):
     """shard_map halo exchange over a 2x2 CPU mesh must reproduce the

@@ -50,6 +50,66 @@ def test_pixel_pack_roundtrip():
                                   np.asarray(x[..., 2]))   # zi=0,s=1 <- c=1*2+0
 
 
+def test_seg_perm_and_segmented_kernel():
+    """A plain concat of z-major packed segments + seg-permuted kernel ==
+    3D conv on the 5D concat."""
+    from tera_mind_tpu.ops.zpack import (pack_conv3d_kernel, pack_features,
+                                         seg_perm, unpack_features)
+
+    rng = np.random.default_rng(1)
+    z, h, w = 2, 8, 8
+    segs = (5, 3, 4)
+    ci, co = sum(segs), 6
+    x5 = [jnp.asarray(rng.normal(0, 1, (2, z, h, w, c)).astype(np.float32))
+          for c in segs]
+    cat5 = jnp.concatenate(x5, axis=-1)
+    w3 = rng.normal(0, 0.3, (3, 3, 3, ci, co)).astype(np.float32)
+    want = jax.lax.conv_general_dilated(
+        cat5, jnp.asarray(w3), (1, 1, 1), [(1, 1), (1, 1), (1, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    # runtime: plain concat of per-segment packed tensors
+    catP = jnp.concatenate([pack_features(x, z) for x in x5], axis=-1)
+    w2 = jnp.asarray(pack_conv3d_kernel(w3, z, segments=segs))
+    got = jax.lax.conv_general_dilated(
+        catP, w2, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(unpack_features(got, z)),
+                               np.asarray(want), atol=1e-4, rtol=1e-4)
+    # permutation is a bijection
+    p = seg_perm(z, segs)
+    assert sorted(p.tolist()) == list(range(z * ci))
+
+
+def test_grouped_rmsnorm_segmented():
+    """Segment-aware GroupedRMSNorm == 5D RMSNorm on the concatenated
+    channels."""
+    from tera_mind_tpu.models.nn import RMSNorm
+    from tera_mind_tpu.models.unet_packed import GroupedRMSNorm
+    from tera_mind_tpu.ops.zpack import pack_channel_param, pack_features
+
+    rng = np.random.default_rng(2)
+    z, segs = 2, (5, 3)
+    ctot = sum(segs)
+    x5 = [jnp.asarray(rng.normal(0, 2, (3, z, 6, 6, c)).astype(np.float32))
+          for c in segs]
+    cat5 = jnp.concatenate(x5, axis=-1)
+    w = rng.normal(1, 0.2, (ctot,)).astype(np.float32)
+    want = RMSNorm().apply({"params": {"weight": jnp.asarray(w)}}, cat5)
+
+    catP = jnp.concatenate([pack_features(x, z) for x in x5], axis=-1)
+    wP = jnp.asarray(pack_channel_param(w, z, segments=segs))
+    got = GroupedRMSNorm(z=z, segments=segs).apply(
+        {"params": {"weight": wP}}, catP)
+    off, parts = 0, []
+    for c in segs:  # expected, repacked segment-major
+        parts.append(pack_features(want[..., off:off + c], z))
+        off += c
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(jnp.concatenate(parts, axis=-1)),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_packed_model_matches_golden():
     """PackedTeraUNet with transformed params reproduces the 5D golden
     outputs (proves the layout change is a pure re-parameterization)."""

@@ -5,6 +5,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Pallas TPU kernels only lower on the TPU backend (CPU supports interpret
+# mode only); the CPU fallback suite skips them.
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="pallas TPU kernels need the TPU backend")
+
 
 def _xla_ref(q, k, v, scale):
     logits = jnp.einsum("bnd,bmd->bnm", q, k,
