@@ -18,6 +18,9 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
 
+import sys
+sys.path.insert(0, "/root/repo")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -184,18 +184,37 @@ def main():
 
     # 'grid' spills: one file per timestep (fast resume format)
     ck = StateCheckpoint(f"{args.out_dir}_state", fmt="grid")
+
+    # --cur_epoch: resume from an EXPLICIT epoch's spill (reference
+    # test_brn.py:291-292, 331-332); default resumes the latest spill
+    state0 = start_t = None
+    if args.cur_epoch is not None:
+        grid, meta = ck.load_grid(args.cur_epoch)
+        assert meta["rows"] == rows and meta["cols"] == cols, (meta,)
+        state0 = grid.transpose(0, 2, 1, 3, 4).reshape(
+            rows * 256, cols * 256, gconf.channels)
+        start_t = args.tot_epoch - args.cur_epoch
+
     if args.stream:
-        from ..parallel.streaming import StreamConfig, StreamingGenerator
+        from ..parallel.streaming import (HostState, StreamConfig,
+                                          StreamingGenerator)
         sgen = StreamingGenerator(gen, StreamConfig(
             block_rows=args.stream_block, block_cols=args.stream_block,
             checkpoint_every=args.ckpt_every,
             memmap_dir=args.stream_memmap,
             block_major=not args.tile_major))
+        hstate = None
+        if state0 is not None:
+            hstate = HostState(rows, cols, 256, gconf.channels,
+                               memmap_dir=args.stream_memmap)
+            hstate.read[:] = state0
         hstate = sgen.run(rows, cols, gene, row0=row0, col0=col0,
-                          grid_w=416, checkpoint=ck)
+                          grid_w=416, checkpoint=ck, state=hstate,
+                          start_t=start_t)
         out = np.asarray(hstate.read)
     else:
         out = gen.run(gene, row0=row0, col0=col0, grid_w=416,
+                      state=state0, start_t=start_t,
                       checkpoint=ck, checkpoint_every=args.ckpt_every,
                       block_major=not args.tile_major)
 

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--max_steps", type=int, default=None)
     ap.add_argument("--synthetic", action="store_true",
                     help="train on the synthetic fixture (smoke runs)")
+    ap.add_argument("--packed", action="store_true",
+                    help="z-packed compute layout with exact 5D params "
+                    "(~40%% faster convs on TPU; checkpoints identical)")
     args = ap.parse_args()
 
     from ..config import prep_config
@@ -38,6 +41,7 @@ def main():
     conf = prep_config(args.mouse, batch=args.batch, size=args.patch,
                        stain=args.stain, nrna=nrna, srna=args.rna_slc,
                        method=args.method, data_path=args.data_path)
+    conf.packed_compute = args.packed
 
     from ..data.dataset import (MerfishTrainDataset, SyntheticDataset,
                                 batches)

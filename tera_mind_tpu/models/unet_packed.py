@@ -1,10 +1,13 @@
 """z-packed TeraUNet: the flagship model with z folded into channels.
 
 Same architecture and parameters as :class:`~.unet.TeraUNet`, but every
-voxel tensor (B, Z, H, W, C) is carried as (B, H, W, Z*C) — doubling TPU
-lane occupancy at the top level (C=64 -> 128 lanes) and removing the z
-axis from every norm/elementwise/copy op, which the round-1 profile
-showed dominate step time (convs are ~2%).
+voxel tensor (B, Z, H, W, C) is carried as (B, H, W, Z*C).  Profiling
+(scripts/profile_step.py) showed the 5D layout spends 76% of step time in
+convs at ~28% MXU utilization — the z=2 dim wastes sublanes and a third
+of every (3,3,3) kernel's z-taps hits padding.  Packed, the convs are
+dense 2D (z absorbed into channels): the hot decoder conv drops 131->37ms
+and the whole tera-step runs ~1.6x faster (0.159 vs 0.097 tiles/s,
+mask-based grouped norms included; BASELINE.md ladder).
 
 Layout: SEGMENT-MAJOR.  Every single tensor is z-major packed
 (idx = zi*C + c); skip/rna concats are PLAIN ``jnp.concatenate`` along
@@ -23,10 +26,11 @@ Equivalence: a trained 5D model's params convert EXACTLY via
 (resolution-16 tensors are small; the pack/unpack there is two cheap
 reshapes), so their param subtrees are shared verbatim.
 
-Note on fresh training: a freshly initialized packed conv mixes all
-(z, c) pairs — a strictly larger weight class than the z-convolutional 3D
-kernel.  Train the 5D model and convert for exact parity; train packed
-directly only if the wider class is acceptable.
+Training: ``PackedTeraUNet(conf, from_5d=True)`` declares parameters in
+TeraUNet's exact shapes and builds the packed kernels inside the forward
+(:class:`Conv3DAsPacked`), so training at packed speed optimizes exactly
+the reference weight class — fresh inits and checkpoints are bit-
+interchangeable with TeraUNet (tested in tests/test_packed.py).
 """
 
 from __future__ import annotations
@@ -39,8 +43,9 @@ from flax import linen as nn
 
 from ..ops.collage import to_collage
 from ..ops.zpack import (pack_conv3d_bias, pack_conv3d_kernel,
-                         pack_channel_param, pack_features, packed_to_pixel,
-                         pixel_to_packed, unpack_features)
+                         pack_conv3d_kernel_jnp, pack_channel_param,
+                         pack_features, packed_to_pixel, pixel_to_packed,
+                         unpack_features)
 from .attention import DiTBlock
 from .nn import TimeEmbed, timestep_embedding
 from .rna import RNATower, rna_grid_from_dense
@@ -62,37 +67,45 @@ class GroupedRMSNorm(nn.Module):
     z: int
     segments: Optional[Tuple[int, ...]] = None
     eps: float = 1e-6
+    from_5d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         zc = x.shape[-1]
         z = self.z
-        weight = self.param("weight", nn.initializers.ones, (zc,))
         segs = self.segments or (zc // z,)
         ctot = int(sum(segs))
         assert z * ctot == zc, (segs, z, zc)
+        # from_5d: the parameter keeps the 5D model's (C,) shape so
+        # checkpoints/inits are interchangeable with TeraUNet
+        weight = self.param("weight", nn.initializers.ones,
+                            (ctot,) if self.from_5d else (zc,))
+        w = weight.astype(x.dtype)
 
-        # All channel-dim work stays on the MINOR axis via static slices —
-        # a (.., Z*C) -> (.., Z, C) reshape would split the lane dimension
-        # into sublanes, and the relayout copies it forces made norms the
-        # top cost of the whole packed step (round-1 profile #2).
-        slices = []            # (zi, lo, hi) per contiguous z-plane slice
-        off = 0
-        for cs in segs:
-            for zi in range(z):
-                slices.append((zi, off + zi * cs, off + (zi + 1) * cs))
-            off += z * cs
+        # Per-z statistics via CONSTANT channel masks: full-width fusable
+        # reductions and one fused elementwise output — no (Z,C) reshape
+        # (lane->sublane relayout) and no concat of lane slices (both
+        # measured as the top cost of earlier packed attempts).
+        zidx = np.concatenate([np.repeat(np.arange(z), cs)
+                               for cs in segs])        # z of each channel
+        x2 = jnp.square(x.astype(jnp.float32))
+        inv = []
+        for zi in range(z):
+            m = jnp.asarray(zidx == zi, jnp.float32)
+            s = jnp.sum(x2 * m, axis=-1, keepdims=True)
+            inv.append(jax.lax.rsqrt(s / ctot + self.eps).astype(x.dtype))
 
-        ssum = [None] * z      # per-z sum of squares, (lead..., 1) f32
-        for zi, lo, hi in slices:
-            s = jnp.sum(jnp.square(x[..., lo:hi].astype(jnp.float32)),
-                        axis=-1, keepdims=True)
-            ssum[zi] = s if ssum[zi] is None else ssum[zi] + s
-        inv = [jax.lax.rsqrt(s / ctot + self.eps).astype(x.dtype)
-               for s in ssum]
-        y = jnp.concatenate([x[..., lo:hi] * inv[zi]
-                             for zi, lo, hi in slices], axis=-1)
-        return (y * weight.astype(x.dtype)).astype(x.dtype)
+        # per-5D-channel weight, expanded to the packed layout statically
+        if self.from_5d:
+            coff = np.concatenate([np.tile(np.arange(cs) + off, z)
+                                   for off, cs in zip(
+                                       np.cumsum([0] + list(segs))[:-1],
+                                       segs)])
+            w = w[coff]
+        sc = inv[0] * jnp.asarray(zidx == 0, x.dtype)
+        for zi in range(1, z):
+            sc = sc + inv[zi] * jnp.asarray(zidx == zi, x.dtype)
+        return (x * sc * w).astype(x.dtype)
 
 
 def _up2(x):
@@ -115,6 +128,42 @@ def conv2p(features, kernel=(3, 3), *, zero_init=False, dtype=None,
                    use_bias=True, kernel_init=init, dtype=dtype, name=name)
 
 
+class Conv3DAsPacked(nn.Module):
+    """Packed 2D conv whose PARAMETER is the reference-shaped 3D kernel.
+
+    Params match TeraUNet's conv3d exactly ("kernel" (kz,ky,kx,ci,co),
+    "bias" (co,)), so 5D checkpoints load directly and fresh inits are
+    bit-identical (same shapes, names, rng paths).  The packed kernel is
+    rebuilt per call via :func:`pack_conv3d_kernel_jnp` — a few concats +
+    a static gather on kernel-sized tensors, noise next to the conv.
+    This is what makes TRAINING in the packed layout optimize exactly the
+    reference weight class."""
+
+    features: int                 # per-z output channels
+    z: int
+    kernel3: Tuple[int, int, int] = (3, 3, 3)
+    segments: Optional[Tuple[int, ...]] = None
+    zero_init: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        z = self.z
+        ci = x.shape[-1] // z
+        kz, ky, kx = self.kernel3
+        init = nn.initializers.zeros if self.zero_init \
+            else nn.initializers.lecun_normal()
+        w3 = self.param("kernel", init, (kz, ky, kx, ci, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or x.dtype
+        w2 = pack_conv3d_kernel_jnp(w3.astype(dt), z, self.segments)
+        pad = [((ky - 1) // 2,) * 2, ((kx - 1) // 2,) * 2]
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), w2, (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + jnp.tile(b.astype(dt), z)
+
+
 class PackedResBlock(nn.Module):
     """ResBlock3D on the packed layout; param names match ResBlock3D.
 
@@ -130,6 +179,17 @@ class PackedResBlock(nn.Module):
     down: bool = False
     use_zero_module: bool = True
     compute_dtype: jnp.dtype = jnp.float32
+    from_5d: bool = False      # params in TeraUNet's (3D/5D) shapes
+
+    def _conv(self, features, kernel3, *, zero_init=False, segments=None,
+              name=None):
+        if self.from_5d:
+            return Conv3DAsPacked(features=features, z=self.z,
+                                  kernel3=kernel3, segments=segments,
+                                  zero_init=zero_init,
+                                  dtype=self.compute_dtype, name=name)
+        return conv2p(self.z * features, kernel3[1:], zero_init=zero_init,
+                      dtype=self.compute_dtype, name=name)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: Optional[jnp.ndarray] = None,
@@ -140,15 +200,17 @@ class PackedResBlock(nn.Module):
         out_zc = z * self.out_channels
 
         h = GroupedRMSNorm(z=z, segments=self.in_segments,
+                           from_5d=self.from_5d,
                            name="in_norm")(x.astype(dt))
         h = nn.silu(h)
         if self.up:
             h, x = _up2(h), _up2(x)
         elif self.down:
             h, x = _down2(h), _down2(x)
-        h = conv2p(out_zc, (3, 3), dtype=dt, name="in_conv")(h)
+        h = self._conv(self.out_channels, (3, 3, 3),
+                       segments=self.in_segments, name="in_conv")(h)
 
-        h = GroupedRMSNorm(z=z, name="out_norm")(h)
+        h = GroupedRMSNorm(z=z, from_5d=self.from_5d, name="out_norm")(h)
         if emb is not None:
             emb_out = nn.Dense(2 * self.out_channels, dtype=dt,
                                name="emb_proj")(
@@ -161,11 +223,12 @@ class PackedResBlock(nn.Module):
         h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = conv2p(out_zc, (3, 3), zero_init=self.use_zero_module,
-                   dtype=dt, name="out_conv")(h)
+        h = self._conv(self.out_channels, (3, 3, 3),
+                       zero_init=self.use_zero_module, name="out_conv")(h)
 
         if in_zc != out_zc:
-            x = conv2p(out_zc, (1, 1), dtype=dt, name="skip_conv")(x)
+            x = self._conv(self.out_channels, (1, 1, 1),
+                           segments=self.in_segments, name="skip_conv")(x)
         return (x + h).astype(dt)
 
 
@@ -175,9 +238,17 @@ def _collage4(x: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
 
 
 class PackedTeraUNet(nn.Module):
-    """See module docstring; API identical to TeraUNet."""
+    """See module docstring; API identical to TeraUNet.
+
+    from_5d=True declares parameters in TeraUNet's exact shapes (3D conv
+    kernels, per-C norm weights) and transforms them to the packed layout
+    inside the forward — fresh inits and checkpoints are then bit-
+    interchangeable with TeraUNet, which makes this the TRAINING-speed
+    path.  from_5d=False expects pre-transformed params
+    (:func:`pack_unet_params`), skipping the per-call kernel build."""
 
     conf: TeraUNetConfig
+    from_5d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, rna: jnp.ndarray,
@@ -214,14 +285,19 @@ class PackedTeraUNet(nn.Module):
             h5 = unpack_features(hp, z)
             return pack_features(block(h5, cond5), z)
 
-        h = conv2p(z * conf.model_channels, (3, 3), dtype=dt,
-                   name="stem")(h)
+        if self.from_5d:
+            h = Conv3DAsPacked(features=conf.model_channels, z=z,
+                               kernel3=(1, 3, 3), dtype=dt,
+                               name="stem")(h)
+        else:
+            h = conv2p(z * conf.model_channels, (3, 3), dtype=dt,
+                       name="stem")(h)
         hid: List[List[jnp.ndarray]] = [[h]]
         resolution = conf.image_size
         k = 1
         for lvl, mult in enumerate(conf.channel_mult):
             if lvl > 0:
-                h = PackedResBlock(out_channels=h.shape[-1] // z, z=z,
+                h = PackedResBlock(from_5d=self.from_5d, out_channels=h.shape[-1] // z, z=z,
                                    down=True, dropout=conf.dropout,
                                    use_zero_module=conf.use_zero_module,
                                    compute_dtype=dt, name=f"enc_{k}_res")(
@@ -235,7 +311,7 @@ class PackedTeraUNet(nn.Module):
             for _ in range(nrb):
                 segs = (h.shape[-1] // z, rfeat.shape[-1] // z)
                 h = jnp.concatenate([h, rfeat], axis=-1)
-                h = PackedResBlock(out_channels=mult * conf.model_channels,
+                h = PackedResBlock(from_5d=self.from_5d, out_channels=mult * conf.model_channels,
                                    z=z, in_segments=segs,
                                    dropout=conf.dropout,
                                    compute_dtype=dt,
@@ -253,7 +329,7 @@ class PackedTeraUNet(nn.Module):
 
         segs = (h.shape[-1] // z, rna_feats[0].shape[-1] // z)
         h = jnp.concatenate([h, rna_feats[0]], axis=-1)
-        h = PackedResBlock(out_channels=h.shape[-1] // z - rna_och[0], z=z,
+        h = PackedResBlock(from_5d=self.from_5d, out_channels=h.shape[-1] // z - rna_och[0], z=z,
                            in_segments=segs,
                            dropout=conf.dropout, compute_dtype=dt,
                            use_zero_module=conf.use_zero_module,
@@ -263,7 +339,7 @@ class PackedTeraUNet(nn.Module):
                        num_heads=conf.num_heads, n_win=2, dtype=dt,
                        name="mid_attn")
         h = attn(blk, h, rna_feats5[0])
-        h = PackedResBlock(out_channels=h.shape[-1] // z, z=z,
+        h = PackedResBlock(from_5d=self.from_5d, out_channels=h.shape[-1] // z, z=z,
                            dropout=conf.dropout,
                            use_zero_module=conf.use_zero_module,
                            compute_dtype=dt, name="mid_res1")(
@@ -279,7 +355,7 @@ class PackedTeraUNet(nn.Module):
             mult = conf.channel_mult[lvl]
             for j in range(nrb + 1):
                 sk_ch = skips_ch[lvl].pop()
-                dec_res.append(PackedResBlock(
+                dec_res.append(PackedResBlock(from_5d=self.from_5d, 
                     out_channels=mult * conf.model_channels, z=z,
                     in_segments=(dch, sk_ch, rna_och[i]),
                     dropout=conf.dropout, compute_dtype=dt,
@@ -292,7 +368,7 @@ class PackedTeraUNet(nn.Module):
                     name=f"dec_{k}_attn")
                     if res in conf.attention_resolutions else None)
                 if lvl > 0 and j == nrb:
-                    dec_up.append(PackedResBlock(
+                    dec_up.append(PackedResBlock(from_5d=self.from_5d, 
                         out_channels=mult * conf.model_channels, z=z,
                         up=True, dropout=conf.dropout, compute_dtype=dt,
                         use_zero_module=conf.use_zero_module,
@@ -301,9 +377,15 @@ class PackedTeraUNet(nn.Module):
                 else:
                     dec_up.append(None)
                 k += 1
-        out_norm = GroupedRMSNorm(z=z, name="out_norm")
-        out_conv = conv2p(z * conf.stains, (3, 3), dtype=dt,
-                          name="out_conv")
+        out_norm = GroupedRMSNorm(z=z, from_5d=self.from_5d,
+                                  name="out_norm")
+        if self.from_5d:
+            out_conv = Conv3DAsPacked(features=conf.stains, z=z,
+                                      kernel3=(1, 3, 3), dtype=dt,
+                                      name="out_conv")
+        else:
+            out_conv = conv2p(z * conf.stains, (3, 3), dtype=dt,
+                              name="out_conv")
 
         preds = []
         for o in range(2 if decode_original else 1):

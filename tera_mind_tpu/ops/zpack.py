@@ -66,6 +66,31 @@ def pack_conv3d_kernel(w3, z: int, segments=None):
     return w2
 
 
+def pack_conv3d_kernel_jnp(w3, z: int, segments=None):
+    """Traceable (jnp) version of :func:`pack_conv3d_kernel`.
+
+    Lets a packed model declare the REFERENCE-SHAPED 3D kernel as its
+    parameter and build the packed 2D kernel inside the forward — so
+    training in the packed layout optimizes exactly the 5D weight class
+    (and checkpoints stay interchangeable with TeraUNet).  The build is a
+    few concats + one static gather over kernel-sized tensors — noise next
+    to the conv itself."""
+    import jax.numpy as jnp
+    kz, ky, kx, ci, co = w3.shape
+    pad = (kz - 1) // 2
+    zero = jnp.zeros_like(w3[0])
+    rows = []
+    for zi in range(z):
+        cols = [w3[zi - zo + pad] if 0 <= zi - zo + pad < kz else zero
+                for zo in range(z)]
+        rows.append(jnp.concatenate(cols, axis=-1))    # (ky,kx,ci,z*co)
+    w2 = jnp.concatenate(rows, axis=-2)                # (ky,kx,z*ci,z*co)
+    if segments is not None:
+        assert int(sum(segments)) == ci, (segments, ci)
+        w2 = w2[:, :, seg_perm(z, segments), :]
+    return w2
+
+
 def pack_conv3d_bias(b, z: int):
     """(co,) -> (z*co,): the same bias on every z plane."""
     return np.tile(np.asarray(b), z)

@@ -170,14 +170,18 @@ class StreamingGenerator:
             gene: Union[np.ndarray, GeneProvider], *,
             row0: int = 1, col0: int = 1, grid_w: int = 416,
             checkpoint: Optional[StateCheckpoint] = None,
-            state: Optional[HostState] = None) -> HostState:
+            state: Optional[HostState] = None,
+            start_t: Optional[int] = None) -> HostState:
+        """``state``+``start_t`` resume from an explicit timestep (the
+        reference's --cur_epoch); otherwise the latest spill (if any)."""
         c = self.gen.conf
         s = self.sconf
         br = min(s.block_rows, rows)
         bc = min(s.block_cols, cols)
         provider = _as_provider(gene)
         T = self.gen.sampler.schedule.num_timesteps
-        start_t = T
+        if start_t is None:
+            start_t = T
 
         if state is None:
             state = HostState(rows, cols, c.tile, c.channels,

@@ -132,7 +132,14 @@ class Trainer:
             from ..parallel.mesh import make_mesh
             mesh = make_mesh(("dp",))
         self.mesh = mesh
-        self.model = conf.make_model_conf().make_model()
+        if getattr(conf, "packed_compute", False):
+            # packed layout with 5D params: exact same weight class and
+            # checkpoints as TeraUNet, ~40% faster convs on TPU
+            from ..models.unet_packed import PackedTeraUNet
+            self.model = PackedTeraUNet(conf.make_model_conf(),
+                                        from_5d=True)
+        else:
+            self.model = conf.make_model_conf().make_model()
         self.sampler = conf.make_train_sampler()
         self.eval_sampler = conf.make_eval_sampler()
         self.optimizer = make_optimizer(conf)

@@ -69,3 +69,30 @@ def test_loss_decreases_on_repeated_batch(setup):
         state, loss = step_fn(state, batch, jax.random.PRNGKey(2))
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_packed_train_step_matches_5d(setup):
+    """conf.packed_compute trains the SAME function: loss and updated
+    params match the 5D step on the 5D param tree (float tolerance)."""
+    from tera_mind_tpu.models.unet_packed import PackedTeraUNet
+    from tera_mind_tpu.training.harness import make_optimizer
+
+    conf0, _, state = setup
+    # dropout=0: the two layouts draw masks over different tensor shapes,
+    # so only the dropout-free function is pointwise comparable
+    conf = dataclasses.replace(conf0, dropout=0.0)
+    model5 = conf.make_model_conf().make_model()
+    modelP = PackedTeraUNet(conf.make_model_conf(), from_5d=True)
+    sampler = conf.make_train_sampler()
+    optimizer = make_optimizer(conf)
+    step5 = jax.jit(make_train_step(model5, sampler, optimizer, conf))
+    stepP = jax.jit(make_train_step(modelP, sampler, optimizer, conf))
+
+    batch = _batch(conf, seed=3)
+    rng = jax.random.PRNGKey(4)
+    s5, l5 = step5(state, batch, rng)
+    sP, lP = stepP(state, batch, rng)
+    np.testing.assert_allclose(float(lP), float(l5), rtol=1e-4)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     s5.params, sP.params)
+    assert max(jax.tree.leaves(d)) < 5e-4, max(jax.tree.leaves(d))

@@ -110,6 +110,65 @@ def test_grouped_rmsnorm_segmented():
                                atol=1e-5, rtol=1e-5)
 
 
+def _tiny_conf():
+    from tera_mind_tpu.models.unet import TeraUNetConfig
+    return TeraUNetConfig(image_size=32, gn_sz=2, rna_num=16,
+                          rna_tpl=(0, 1, 2, 3), in_channels=4,
+                          out_channels=4, model_channels=8,
+                          embed_channels=32, dropout=0.0)
+
+
+def test_packed_from_5d_exact():
+    """PackedTeraUNet(from_5d=True) consumes TeraUNet's param tree AS-IS:
+    identical init tree, matching outputs, matching gradients — the
+    packed-speed TRAINING path optimizes exactly the 5D weight class."""
+    from tera_mind_tpu.models.unet_packed import PackedTeraUNet
+
+    conf = _tiny_conf()
+    model5 = conf.make_model()
+    modelP = PackedTeraUNet(conf, from_5d=True)
+    kx, kr, kp = jax.random.split(jax.random.PRNGKey(7), 3)
+    x = jax.random.normal(kx, (4, 32, 32, 4), jnp.float32)
+    rna = (jax.random.uniform(kr, (4, 2, 2, 64)) < 0.2
+           ).astype(jnp.float32) * 2
+    t = jnp.array([123], jnp.int32)
+
+    params5 = jax.jit(lambda k: model5.init(k, x, t, rna, 2, 2))(kp)
+    paramsP = jax.jit(lambda k: modelP.init(k, x, t, rna, 2, 2))(kp)
+    # identical param trees (same shapes, names, rng paths)
+    chex_equal = jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=0),
+        params5, paramsP)
+    del chex_equal
+
+    col5, orig5 = jax.jit(lambda p: model5.apply(p, x, t, rna, 2, 2))(
+        params5)
+    colP, origP = jax.jit(lambda p: modelP.apply(p, x, t, rna, 2, 2))(
+        params5)  # 5D tree fed straight in
+    np.testing.assert_allclose(np.asarray(colP), np.asarray(col5),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(origP), np.asarray(orig5),
+                               atol=2e-4, rtol=1e-4)
+
+    def loss(model):
+        def f(p):
+            c, o = model.apply(p, x, t, rna, 2, 2)
+            return jnp.mean(c ** 2) + jnp.mean(o ** 2)
+        return f
+
+    g5 = jax.jit(jax.grad(loss(model5)))(params5)
+    gP = jax.jit(jax.grad(loss(modelP)))(params5)
+    flat5 = jax.tree_util.tree_leaves_with_path(g5)
+    flatP = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(gP)}
+    for k, v5 in flat5:
+        vP = flatP[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            np.asarray(vP), np.asarray(v5), atol=5e-4, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(k))
+
+
 def test_packed_model_matches_golden():
     """PackedTeraUNet with transformed params reproduces the 5D golden
     outputs (proves the layout change is a pure re-parameterization)."""

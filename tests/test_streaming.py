@@ -53,6 +53,53 @@ def test_streaming_matches_in_hbm():
     np.testing.assert_array_equal(got, want)
 
 
+def test_streaming_block_major_matches():
+    """StreamConfig(block_major=True) windows must equal the per-tile
+    streaming result (consistent gene overlaps)."""
+    gen, gconf = _mk()
+    rows = cols = 3
+    nb, hb = gconf.tile // gconf.gn_blk, gconf.pad // gconf.gn_blk
+    rng = np.random.default_rng(5)
+    field = (rng.random((rows * nb + 2 * hb, cols * nb + 2 * hb,
+                         gconf.z_pad, gconf.gdim)) < 0.05).astype(np.uint8)
+    gene = np.stack([
+        np.stack([field[r * nb: r * nb + nb + 2 * hb,
+                        c * nb: c * nb + nb + 2 * hb]
+                  for c in range(cols)]) for r in range(rows)])
+
+    tile = StreamingGenerator(gen, StreamConfig(
+        block_rows=2, block_cols=2, progress=False))
+    blk = StreamingGenerator(gen, StreamConfig(
+        block_rows=2, block_cols=2, progress=False, block_major=True))
+    a = np.asarray(tile.run(rows, cols, gene, row0=1, col0=1).read)
+    b = np.asarray(blk.run(rows, cols, gene, row0=1, col0=1).read)
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_streaming_explicit_start_t():
+    """state+start_t resumes mid-chain (the --cur_epoch protocol)."""
+    gen, gconf = _mk()
+    rows = cols = 2
+    rng = np.random.default_rng(6)
+    gene = (rng.random((rows, cols, gconf.gsz, gconf.gsz, gconf.z_pad,
+                        gconf.gdim)) < 0.05).astype(np.uint8)
+    sgen = StreamingGenerator(gen, StreamConfig(block_rows=2, block_cols=2,
+                                                progress=False))
+    full = np.asarray(sgen.run(rows, cols, gene, row0=1, col0=1).read)
+
+    # run the first step only with the in-HBM generator, then stream the
+    # remaining T-1 from that state
+    T = gen.sampler.schedule.num_timesteps
+    s = jnp.asarray(gen.init_state(rows, cols, row0=1, col0=1))
+    step = gen.compile_step(rows, cols)
+    s = step(s, jnp.asarray(gene), jnp.int32(T - 1))
+    hs = HostState(rows, cols, gconf.tile, gconf.channels)
+    hs.read[:] = np.asarray(s)
+    resumed = np.asarray(sgen.run(rows, cols, gene, row0=1, col0=1,
+                                  state=hs, start_t=T - 1).read)
+    np.testing.assert_allclose(resumed, full, atol=1e-6)
+
+
 def test_streaming_memmap_backend(tmp_path):
     gen, gconf = _mk()
     rows, cols = 2, 2
