@@ -52,12 +52,20 @@ def main():
     args = ap.parse_args()
 
     from ..config import config_from_name, prep_config
-    from ..constants import MALL
+    from ..constants import MROI
 
     if args.ckpt_pth is not None:
         conf = config_from_name(args.ckpt_pth.parent.name)
     else:
         conf = prep_config(args.mouse)
+
+    if args.pathway == "ROI" and args.mouse in MROI:
+        # region mode: coordinates + gene list come from the MROI presets
+        # (reference test_attn.py:465-472: pos*32 px, size//8 tiles)
+        _slst, size, pos, _gnm = MROI[args.mouse]
+        args.hst = pos[args.roi][0] * 32
+        args.wst = pos[args.roi][1] * 32
+        args.hnm = args.wnm = size // 8
 
     if args.calc_attn:
         _calc(args, conf)
@@ -83,7 +91,11 @@ def _calc(args, conf):
     from .generate import load_gene_tile, synthetic_gene_grid
 
     names = _gene_names(args.mouse)
-    want = MALL[args.pathway] if args.pathway in MALL else []
+    if args.pathway == "ROI":
+        from ..constants import MROI
+        want = MROI[args.mouse][3][args.roi] if args.mouse in MROI else []
+    else:
+        want = MALL[args.pathway] if args.pathway in MALL else []
     glst = np.array([names.index(g) for g in want if g in names],
                     dtype=np.int64)
     if len(glst) == 0:
@@ -125,24 +137,36 @@ def _calc(args, conf):
                       f"{h0-128}_{h0+384}_{w0-128}_{w0+384}.npz")
                 stack = load_gene_tile(gdir / nm, gblk=16, gdim=500,
                                        spad=spad)
-            # central z window of rna_slices slices, interior 16x16 bins
+            # central z window of rna_slices slices, interior 16x16 bins,
+            # split into per-patch gn_sz x gn_sz grids (the block's trained
+            # granularity; reference patchifies tiles to 64px patches)
             z0 = (stack.shape[2] - conf.rna_slices) // 2
             win = stack[2:-2, 2:-2, z0:z0 + conf.rna_slices, :]
             gh = win.shape[0]
-            # model expects per-patch grids; use the whole 16x16 as one grid
-            rna_dense = win.reshape(1, gh, gh,
-                                    conf.rna_slices * 500)[...,
-                                                           :conf.rna_slices
-                                                           * conf.rna_num]
+            gp = conf.gn_sz
+            p = gh // gp
+            w2 = win.reshape(p, gp, p, gp, conf.rna_slices, 500)
+            w2 = w2.transpose(0, 2, 1, 3, 4, 5)
+            rna_dense = w2.reshape(p * p, gp, gp, conf.rna_slices * 500)[
+                ..., :conf.rna_slices * conf.rna_num]
             attn_stack, rna_core = apply(jnp.asarray(rna_dense))
-            attn_stack = np.asarray(attn_stack)  # (groups, 1, G, G)
-            expr = np.asarray(rna_core)[0].sum(0)  # (gh, gw, G) z-summed
-            outs = [pathway_products(a[0], expr, glst)
-                    for a in attn_stack]
+            attn_stack = np.asarray(attn_stack)  # (groups, p*p, G, G)
+            expr = np.asarray(rna_core).sum(1)   # (p*p, gp, gp, G) z-summed
+            outs = []
+            for a in attn_stack:                 # per z-group
+                per_patch = np.stack(
+                    [pathway_products(a[b], expr[b], glst)
+                     for b in range(p * p)])     # (p*p, gp, gp, 2k)
+                tile_map = per_patch.reshape(p, p, gp, gp, -1)
+                tile_map = tile_map.transpose(0, 2, 1, 3, 4).reshape(
+                    gh, gh, -1)
+                outs.append(tile_map)
             store.write(tile_name(h0, h0 + 256, w0, w0 + 256),
                         np.stack(outs).astype(np.float16))
-    # persist the raw ensemble attention matrix for downstream analysis
-    np.save(Path(args.out_dir) / "attn_ensemble.npy", attn_stack[-1][0])
+    # persist the raw ensemble attention matrix (patch-averaged) for
+    # downstream analysis
+    np.save(Path(args.out_dir) / "attn_ensemble.npy",
+            attn_stack[-1].mean(0))
     print(f"attn tiles -> {args.out_dir}", flush=True)
 
 
@@ -154,7 +178,8 @@ def _vis(args, conf):
     from ..data.tilestore import TileStore
 
     store = TileStore(args.out_dir)
-    names = store.names()
+    # tile entries only (the store dir also holds attn_ensemble.npy)
+    names = [n for n in store.names() if n.split("_")[0].isdigit()]
     if not names:
         print("no attention tiles found", flush=True)
         return
