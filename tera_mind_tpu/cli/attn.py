@@ -59,10 +59,16 @@ def main():
     else:
         conf = prep_config(args.mouse)
 
-    if args.pathway == "ROI" and args.mouse in MROI:
+    if args.pathway == "ROI":
         # region mode: coordinates + gene list come from the MROI presets
         # (reference test_attn.py:465-472: pos*32 px, size//8 tiles)
+        if args.mouse not in MROI:
+            raise SystemExit(f"--pathway ROI: no MROI presets for mouse "
+                             f"{args.mouse} (have {sorted(MROI)})")
         _slst, size, pos, _gnm = MROI[args.mouse]
+        if not 0 <= args.roi < len(pos):
+            raise SystemExit(f"--roi {args.roi} out of range "
+                             f"(mouse {args.mouse} has {len(pos)} ROIs)")
         args.hst = pos[args.roi][0] * 32
         args.wst = pos[args.roi][1] * 32
         args.hnm = args.wnm = size // 8
@@ -96,8 +102,9 @@ def _calc(args, conf):
         want = MROI[args.mouse][3][args.roi] if args.mouse in MROI else []
     else:
         want = MALL[args.pathway] if args.pathway in MALL else []
-    glst = np.array([names.index(g) for g in want if g in names],
-                    dtype=np.int64)
+    glst = np.array([names.index(g) for g in want
+                     if g in names and names.index(g) < conf.rna_num],
+                    dtype=np.int64)  # attention matrix covers rna_num genes
     if len(glst) == 0:
         glst = np.arange(min(2, conf.rna_num))
 
@@ -147,8 +154,10 @@ def _calc(args, conf):
             p = gh // gp
             w2 = win.reshape(p, gp, p, gp, conf.rna_slices, 500)
             w2 = w2.transpose(0, 2, 1, 3, 4, 5)
-            rna_dense = w2.reshape(p * p, gp, gp, conf.rna_slices * 500)[
-                ..., :conf.rna_slices * conf.rna_num]
+            # keep the full 500-gene width: rna_grid_from_dense subsets
+            # genes PER SLICE (truncating the flattened z*G axis here would
+            # scramble slices/genes for rna_num < 500 panels)
+            rna_dense = w2.reshape(p * p, gp, gp, conf.rna_slices * 500)
             attn_stack, rna_core = apply(jnp.asarray(rna_dense))
             attn_stack = np.asarray(attn_stack)  # (groups, p*p, G, G)
             expr = np.asarray(rna_core).sum(1)   # (p*p, gp, gp, G) z-summed

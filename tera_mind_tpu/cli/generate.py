@@ -43,11 +43,20 @@ def load_gene_tile(path: Path, *, gblk: int, gdim: int, spad: int,
     return dense.reshape(gsz, gsz, z_pad, gdim)
 
 
-def synthetic_gene_grid(rows, cols, gsz, z_pad, gdim, seed=0):
+def synthetic_gene_grid(rows, cols, gsz, z_pad, gdim, seed=0,
+                        overlap_bins=4):
+    """Per-tile padded gene arrays sliced from ONE global field, so
+    neighboring tiles' overlap bins agree — the property real data has and
+    ``assemble_bins`` (block-major mode) relies on."""
+    nb = gsz - overlap_bins          # bins owned per tile side
+    hb = overlap_bins // 2
     rng = np.random.default_rng(seed)
-    return ((rng.random((rows, cols, gsz, gsz, z_pad, gdim)) < 0.01) *
-            rng.integers(1, 5, (rows, cols, gsz, gsz, z_pad, gdim))
-            ).astype(np.uint8)
+    fshape = (rows * nb + 2 * hb, cols * nb + 2 * hb, z_pad, gdim)
+    field = ((rng.random(fshape) < 0.01) *
+             rng.integers(1, 5, fshape)).astype(np.uint8)
+    return np.stack([
+        np.stack([field[r * nb: r * nb + gsz, c * nb: c * nb + gsz]
+                  for c in range(cols)]) for r in range(rows)])
 
 
 def save_preview(out: np.ndarray, odir: Path, stain: str, stains: int,
@@ -190,9 +199,12 @@ def main():
     state0 = start_t = None
     if args.cur_epoch is not None:
         grid, meta = ck.load_grid(args.cur_epoch)
-        assert meta["rows"] == rows and meta["cols"] == cols, (meta,)
+        # state-protocol guard (reference test_brn.py:178)
+        assert meta["rows"] == rows and meta["cols"] == cols \
+            and meta["size"] == gconf.tile \
+            and meta["channels"] == gconf.channels, (meta, gconf)
         state0 = grid.transpose(0, 2, 1, 3, 4).reshape(
-            rows * 256, cols * 256, gconf.channels)
+            rows * gconf.tile, cols * gconf.tile, gconf.channels)
         start_t = args.tot_epoch - args.cur_epoch
 
     if args.stream:
@@ -205,7 +217,7 @@ def main():
             block_major=not args.tile_major))
         hstate = None
         if state0 is not None:
-            hstate = HostState(rows, cols, 256, gconf.channels,
+            hstate = HostState(rows, cols, gconf.tile, gconf.channels,
                                memmap_dir=args.stream_memmap)
             hstate.read[:] = state0
         hstate = sgen.run(rows, cols, gene, row0=row0, col0=col0,

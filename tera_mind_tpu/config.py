@@ -70,11 +70,11 @@ class TrainConfig:
     # runtime (TPU)
     compute_dtype: str = "bfloat16"   # model compute dtype
     remat: bool = False               # activation checkpointing of the UNet
+                                      # fwd (reference use_checkpoint,
+                                      # config.py:101, off by default)
     packed_compute: bool = False      # run the z-packed layout with 5D
                                       # params (exact; ~40% faster convs on
                                       # TPU — models/unet_packed.py)
-                                      # fwd (reference use_checkpoint,
-                                      # config.py:101, off by default)
     mesh_shape: Tuple[int, ...] = (-1,)  # dp mesh by default
     prefetch_depth: int = 2
     sample_every_steps: int = 2500

@@ -127,17 +127,6 @@ def unpack_features(x, z: int):
     return x.reshape(b, h, w, z, c).transpose(0, 3, 1, 2, 4)
 
 
-def group_concat(a, b_, z: int):
-    """Concat per z-group: (..., z*Ca) ++ (..., z*Cb) -> (..., z*(Ca+Cb))."""
-    import jax.numpy as jnp
-    lead = a.shape[:-1]
-    ca = a.shape[-1] // z
-    cb = b_.shape[-1] // z
-    a5 = a.reshape(*lead, z, ca)
-    b5 = b_.reshape(*lead, z, cb)
-    return jnp.concatenate([a5, b5], axis=-1).reshape(*lead, z * (ca + cb))
-
-
 def pixel_to_packed(x, z: int):
     """(B, H, W, S*Z) stain-major pixel channels (c = s*z + zi,
     unet_ours.py:105) -> z-major packed (B, H, W, Z*S)."""

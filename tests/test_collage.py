@@ -59,3 +59,19 @@ def test_pixels_voxels_roundtrip_and_order():
                                   np.asarray(x[..., 5]))
     back = voxels_to_pixels(v)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_collage_upsample_commute_exactly():
+    """to_collage(upsample_2x(x)) == upsample_2x(to_collage(x)) for even
+    patch sizes — the exactness that lets the decoder collage the RNA
+    tower's pre-upsample stages at quarter size (models/rna.py)."""
+    from tera_mind_tpu.models.nn import upsample_2x
+
+    rng = np.random.default_rng(4)
+    for (p1, p2, h, c, z) in [(3, 3, 8, 5, 2), (5, 5, 4, 3, 2),
+                              (2, 4, 16, 7, 1)]:
+        x = jnp.asarray(rng.normal(0, 1, (2 * p1 * p2, z, h, h, c))
+                        .astype(np.float32))
+        a = to_collage(upsample_2x(x), p1, p2)
+        b = upsample_2x(to_collage(x, p1, p2))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
