@@ -241,6 +241,60 @@ def test_sharded_block_major_equals_single_device(setup):
 
 
 @pytest.mark.cpu_mesh
+def test_sharded_block_major_packed_real_model():
+    """Deployment path: the z-packed model under shard_map block-major on
+    a 2x2 mesh == single device (real weights, tiny config)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tera_mind_tpu.models.unet import TeraUNet, TeraUNetConfig
+    from tera_mind_tpu.models.unet_packed import PackedTeraUNet
+
+    gc = GeneratorConfig(tile=64, patch=32, gn_blk=16, snum=4, n_slices=4,
+                         stains=1, gdim=6, noise_backend="jax")
+    mconf = TeraUNetConfig(image_size=32, in_channels=2, out_channels=2,
+                           model_channels=8, embed_channels=32,
+                           num_res_blocks=1, channel_mult=(1, 2, 4, 8),
+                           attention_resolutions=(8,), rna_num=6,
+                           gn_sz=2, dropout=0.0)
+    model5 = TeraUNet(mconf)
+    packed = PackedTeraUNet(mconf, from_5d=True)
+    rng = jax.random.PRNGKey(3)
+    x0 = jnp.zeros((4, 32, 32, 2))
+    r0 = jnp.zeros((4, 2, 2, 4 * 6))
+    params = model5.init(rng, x0, jnp.zeros((1,), jnp.int32), r0, 2, 2)
+
+    def model_fn(p, xp, tm, rp, p1, p2):
+        return packed.apply(p, xp, tm, rp, p1, p2, decode_original=False)
+
+    sched = spaced_schedule("linear", 1000, "ddim3")
+    sampler = DiffusionSampler(sched, SamplerConfig(patch_size=32, gn_sz=2))
+    nprng = np.random.default_rng(13)
+    nb, hb = gc.tile // gc.gn_blk, gc.pad // gc.gn_blk
+    field = nprng.integers(0, 3, (2 * nb + 2 * hb, 2 * nb + 2 * hb,
+                                  gc.z_pad, gc.gdim)).astype(np.uint8)
+    gene = np.stack([
+        np.stack([field[r * nb: r * nb + nb + 2 * hb,
+                        cc * nb: cc * nb + nb + 2 * hb]
+                  for cc in range(2)]) for r in range(2)])
+
+    gen1 = TeraGenerator(sampler, model_fn, gc, params=params)
+    state = gen1.init_state(2, 2, row0=1, col0=1, grid_w=16)
+    single = np.asarray(gen1.compile_step(2, 2, block_major=True)(
+        jnp.asarray(state), jnp.asarray(gene), jnp.int32(0)))
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("gr", "gc"))
+    gen_sh = TeraGenerator(sampler, model_fn, gc, params=params, mesh=mesh)
+    st = jax.device_put(jnp.asarray(state),
+                        NamedSharding(mesh, P("gr", "gc", None)))
+    ge = jax.device_put(jnp.asarray(gene),
+                        NamedSharding(mesh, P("gr", "gc")))
+    sharded = np.asarray(gen_sh.compile_step(2, 2, block_major=True)(
+        st, ge, jnp.int32(0)))
+    np.testing.assert_allclose(sharded, single, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.cpu_mesh
 def test_sharded_step_equals_single_device(setup):
     """shard_map halo exchange over a 2x2 CPU mesh must reproduce the
     single-device result exactly."""
