@@ -88,6 +88,11 @@ def main():
     state = gen.init_state(rows, cols)
 
     dev_state = jnp.asarray(state)
+    if os.environ.get("BENCH_BF16_STATE", "0") == "1":
+        # inter-step state in bf16: halves state/halo HBM traffic; the
+        # reference roundtrips fp16 through disk every step, so precision
+        # is comparable (bf16 8 vs fp16 11 mantissa bits) — kept opt-in
+        dev_state = dev_state.astype(jnp.bfloat16)
     dev_gene = jnp.asarray(gene)
 
     # block-major (default): one patch grid over the whole block — ~19%

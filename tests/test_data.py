@@ -135,3 +135,39 @@ def test_load_tile_image_zarr_zip(tmp_path):
     im = load_tile_image(zp)
     got = np.asarray(im[:, 2:6, 1:5])
     np.testing.assert_array_equal(got, arr[:, 2:6, 1:5])
+
+
+def test_merfish_train_dataset_reference_format(tmp_path):
+    """End-to-end: reference-format per-tile files (sparse gene .npz +
+    (100, H, W) image) -> MerfishTrainDataset crops with the reference's
+    shape/binning/normalization semantics (MBADataset.py:69-152)."""
+    from tera_mind_tpu.data.dataset import MerfishTrainDataset, batches
+
+    rng = np.random.default_rng(7)
+    H = W = 96
+    gdim, zmax = 12, 50
+    gdir = tmp_path / "gene_m"
+    idir = tmp_path / "img_m"
+    gdir.mkdir(); idir.mkdir()
+    for nm in ("a", "b"):
+        coo = rand_coo(rng, (H, W, zmax * gdim), 800)
+        coo.save_npz(gdir / f"{nm}.npz")
+        img = rng.integers(0, 255, (100, H, W)).astype(np.uint8)
+        np.save(idir / f"{nm}.npy", img)
+
+    ds = MerfishTrainDataset([gdir / "a.npz", gdir / "b.npz"],
+                             gdim=gdim, gblk=16, crop=64, snum=4,
+                             stain="all", pad_bins=2, repeat=2, seed=1)
+    s = ds.sample(0)
+    # image: 64^2 crop, 2 stains x 2 z voxels, [-1, 1]
+    assert s.image.shape == (64, 64, 4)
+    assert s.image.min() >= -1.0 and s.image.max() <= 1.0
+    # gene grid: 64/16=4 bins + 2*2 pad bins, snum*gdim dense channels
+    assert s.rna.shape == (8, 8, 4 * gdim)
+    assert (s.rna >= 0).all()
+    # interior bins carry the cropped counts; pad ring is zero
+    assert s.rna[:2].sum() == 0 and s.rna[:, :2].sum() == 0
+
+    b = next(iter(batches(ds, 2)))
+    assert b["image"].shape == (2, 64, 64, 4)
+    assert b["rna"].shape == (2, 8, 8, 4 * gdim)
