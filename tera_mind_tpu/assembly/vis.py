@@ -66,6 +66,64 @@ def color_overlay(base: np.ndarray,
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+def region_mask(onto: np.ndarray, region: str = "all") -> np.ndarray:
+    """Zero an ontology-mask outside the selected region (the reference's
+    add_onto modes, vis_mba.py:141-160): all | half (left) | rhalf | thalf
+    | bhalf/main (bottom) | quarter (top-left) | 3quarter (all minus
+    top-right)."""
+    h, w = onto.shape[:2]
+    msk = np.array(onto, copy=True)
+    if region == "all":
+        return msk
+    keep = np.zeros_like(msk)
+    if region == "quarter":
+        keep[:h // 2, :w // 2] = msk[:h // 2, :w // 2]
+    elif region in ("main", "bhalf"):
+        keep[h // 2:] = msk[h // 2:]
+    elif region == "half":
+        keep[:, :w // 2] = msk[:, :w // 2]
+    elif region == "rhalf":
+        keep[:, w // 2:] = msk[:, w // 2:]
+    elif region == "thalf":
+        keep[:h // 2] = msk[:h // 2]
+    elif region == "3quarter":
+        keep = msk
+        keep[:h // 2, w // 2:] = 0
+    else:
+        raise ValueError(f"unknown region {region!r}")
+    return keep
+
+
+def onto_overlay(img: np.ndarray, onto: np.ndarray, *,
+                 region: str = "all", alpha: int = 100,
+                 bright: Optional[float] = None) -> np.ndarray:
+    """Alpha-composite an RGB ontology mask over an image
+    (reference onto_overlay, vis_mba.py:118-179, pyvips composite 'over'
+    at integer alpha 0-255 wherever the mask is non-zero; optional
+    brightness boost of the underlying image first)."""
+    base = to_uint8(img)
+    if base.ndim == 2:
+        base = np.stack([base] * 3, -1)
+    base = base.astype(np.float32)
+    if bright is not None:
+        base = np.clip(base * bright, 0, 255)
+    msk = region_mask(to_uint8(onto), region).astype(np.float32)
+    a = (alpha / 255.0) * (msk.sum(-1, keepdims=True) != 0)
+    out = base * (1 - a) + msk * a
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def merge_mask(img: np.ndarray, mask: np.ndarray,
+               alpha: int = 100) -> np.ndarray:
+    """Binarized-mask composite (reference merg_msk, vis_mba.py:448-474):
+    any non-zero mask pixel becomes a white overlay at ``alpha``."""
+    m = np.asarray(mask)
+    binary = (m.sum(-1) if m.ndim == 3 else m) != 0
+    white = np.full(3, 255, np.uint8)
+    onto = binary[..., None] * white
+    return onto_overlay(img, onto, alpha=alpha)
+
+
 def metric_table(rows: Iterable[dict], columns: Sequence[str]) -> str:
     """CSV-ish metric table rendering (vis_mba.py:241-275 reshapes metric
     CSVs for the paper; here: plain aligned text)."""

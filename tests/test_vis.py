@@ -55,3 +55,36 @@ def test_stitch_tiles():
     assert out.shape == (8, 12)
     assert out[0, 0] == 0 and out[4, 8] == 12
     assert stitch_tiles(read, 9999, 2, tile=4) is None
+
+
+def test_region_mask_modes():
+    from tera_mind_tpu.assembly.vis import region_mask
+
+    onto = np.ones((8, 8, 3), np.uint8) * 200
+    assert region_mask(onto, "all").sum() == onto.sum()
+    q = region_mask(onto, "quarter")
+    assert q[:4, :4].all() and q[4:].sum() == 0 and q[:4, 4:].sum() == 0
+    b = region_mask(onto, "bhalf")
+    assert b[4:].all() and b[:4].sum() == 0
+    t3 = region_mask(onto, "3quarter")
+    assert t3[:4, 4:].sum() == 0 and t3[4:].all() and t3[:4, :4].all()
+    with np.testing.assert_raises(ValueError):
+        region_mask(onto, "nope")
+
+
+def test_onto_overlay_composites_alpha():
+    from tera_mind_tpu.assembly.vis import merge_mask, onto_overlay
+
+    img = np.zeros((4, 4), np.uint8)
+    onto = np.zeros((4, 4, 3), np.uint8)
+    onto[0, 0] = (255, 0, 0)
+    out = onto_overlay(img, onto, alpha=255)
+    assert tuple(out[0, 0]) == (255, 0, 0)     # full alpha replaces
+    assert out[1:].sum() == 0                  # mask-free pixels untouched
+    half = onto_overlay(img, onto, alpha=128)
+    assert 120 <= half[0, 0, 0] <= 136         # ~50% blend
+
+    m = np.zeros((4, 4), np.uint8)
+    m[2, 2] = 7
+    got = merge_mask(img, m, alpha=255)
+    assert tuple(got[2, 2]) == (255, 255, 255)
