@@ -95,4 +95,9 @@ def test_packed_train_step_matches_5d(setup):
     np.testing.assert_allclose(float(lP), float(l5), rtol=1e-4)
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                      s5.params, sP.params)
-    assert max(jax.tree.leaves(d)) < 5e-4, max(jax.tree.leaves(d))
+    # TPU conv reassociation (bf16x3 excess precision) flips Adam's sign
+    # on near-zero grad coords -> up to ~2*lr param drift there; CPU
+    # gradients match to f32 eps so the tight bound holds
+    bound = 4 * conf.lr if jax.default_backend() in ("tpu", "axon") \
+        else 5e-4
+    assert max(jax.tree.leaves(d)) < bound, max(jax.tree.leaves(d))

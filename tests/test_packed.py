@@ -146,10 +146,14 @@ def test_packed_from_5d_exact():
         params5)
     colP, origP = jax.jit(lambda p: modelP.apply(p, x, t, rna, 2, 2))(
         params5)  # 5D tree fed straight in
+    # TPU f32 convs run with excess-precision reassociation (bf16x3), so
+    # the two conv formulations drift ~2e-3 there; CPU is f32-exact
+    tpu = jax.default_backend() in ("tpu", "axon")
+    atol = 5e-3 if tpu else 2e-4
     np.testing.assert_allclose(np.asarray(colP), np.asarray(col5),
-                               atol=2e-4, rtol=1e-4)
+                               atol=atol, rtol=1e-3 if tpu else 1e-4)
     np.testing.assert_allclose(np.asarray(origP), np.asarray(orig5),
-                               atol=2e-4, rtol=1e-4)
+                               atol=atol, rtol=1e-3 if tpu else 1e-4)
 
     def loss(model):
         def f(p):
@@ -162,10 +166,11 @@ def test_packed_from_5d_exact():
     flat5 = jax.tree_util.tree_leaves_with_path(g5)
     flatP = {jax.tree_util.keystr(k): v
              for k, v in jax.tree_util.tree_leaves_with_path(gP)}
+    gatol = 5e-3 if tpu else 5e-4
     for k, v5 in flat5:
         vP = flatP[jax.tree_util.keystr(k)]
         np.testing.assert_allclose(
-            np.asarray(vP), np.asarray(v5), atol=5e-4, rtol=5e-3,
+            np.asarray(vP), np.asarray(v5), atol=gatol, rtol=5e-3,
             err_msg=jax.tree_util.keystr(k))
 
 
