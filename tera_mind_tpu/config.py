@@ -111,6 +111,16 @@ class TrainConfig:
     def batch_size_effective(self) -> int:
         return self.batch_size * self.accum_batches
 
+    def scale_up_gpus(self, num_devices: int, num_nodes: int = 1
+                      ) -> "TrainConfig":
+        """Scale the global batch by world size (reference
+        config.py:164-170).  The reference additionally scales its
+        sample-count-based eval cadences; ours are step-based
+        (`sample_every_steps` etc.), which keeps the same cadence in steps
+        automatically as the per-step sample count grows."""
+        self.batch_size *= num_devices * num_nodes
+        return self
+
     # ---- factories -----------------------------------------------------
     def make_model_conf(self):
         """Model config by ``method`` (reference config.py:281-291):

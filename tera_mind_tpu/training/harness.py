@@ -127,10 +127,19 @@ class Trainer:
     def __init__(self, conf: TrainConfig, *, mesh=None, ema: bool = False):
         self.conf = conf
         if mesh is None and len(jax.devices()) > 1:
-            # default dp mesh over all devices (replaces Lightning DDP,
-            # experiment.py:485): grads all-reduce via compiled psum
+            # default dp mesh (replaces Lightning DDP, experiment.py:485):
+            # grads all-reduce via compiled psum.  The global batch must
+            # split evenly over the dp axis (reference experiment.py:98-105
+            # asserts batch % world_size == 0), so use the largest device
+            # count that divides it — a tiny-batch run on a big host trains
+            # on fewer devices instead of asserting.
             from ..parallel.mesh import make_mesh
-            mesh = make_mesh(("dp",))
+            ndev = len(jax.devices())
+            ndp = min(ndev, max(1, conf.batch_size))
+            while conf.batch_size % ndp:
+                ndp -= 1
+            if ndp > 1:
+                mesh = make_mesh(("dp",), devices=jax.devices()[:ndp])
         self.mesh = mesh
         if getattr(conf, "packed_compute", False):
             # packed layout with 5D params: exact same weight class and
