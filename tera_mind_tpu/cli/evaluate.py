@@ -68,21 +68,34 @@ def main():
         rnames = [n for n in names if real.has(n)]
         report["n_paired"] = len(rnames)
 
+        # a `d_fid` entry appears ONLY with a real feature network; the
+        # weight-free fallback is reported as `pool_fid`, which is NOT
+        # comparable to the paper's Inception/CLIP d-FID numbers
+        # (reference feat_mba.py:57-179)
         if args.features == "torchscript" and args.feature_weights:
-            extractor = TorchscriptFeatures(args.feature_weights)
+            extractor, key = TorchscriptFeatures(args.feature_weights), \
+                "d_fid"
         elif args.features == "inception" and args.feature_weights:
             # flax InceptionV3 on the TPU (converted torchscript weights)
             from ..metrics.inception import FlaxInceptionFeatures
-            extractor = FlaxInceptionFeatures(args.feature_weights)
+            extractor, key = FlaxInceptionFeatures(args.feature_weights), \
+                "d_fid"
         elif args.features == "clip" and args.feature_weights:
             from ..metrics.features import CLIPFeatures
-            extractor = CLIPFeatures(args.feature_weights)
+            extractor, key = CLIPFeatures(args.feature_weights), "d_fid_clip"
         else:
-            extractor = PoolFeatures()
-        report["d_fid"] = float(d_fid_between_stores(
+            if args.features != "pool":
+                raise SystemExit(f"--features {args.features} requires "
+                                 "--feature_weights (refusing to silently "
+                                 "fall back to pool features)")
+            extractor, key = PoolFeatures(), "pool_fid"
+        report[key] = float(d_fid_between_stores(
             _tile_slices(gen, rnames, args.channel),
             _tile_slices(real, rnames, args.channel),
             extractor))
+        if key == "pool_fid":
+            report["pool_fid_note"] = ("weight-free pooled features — not "
+                                       "comparable to Inception/CLIP d-FID")
 
         # paired PSNR/SSIM/MS-SSIM (reference metrics.py:201-541); jitted
         # once per shape (eager per-op dispatch is pathological here)

@@ -46,11 +46,14 @@ class StreamingMoments:
         self.s1 += f.sum(0)
         self.s2 += f.T @ f
 
-    def finalize(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Unbiased covariance (metrics.py:118-122)."""
-        assert self.n > 1
+    def finalize(self, ddof: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+        """(mu, cov).  ddof=1: unbiased (what `np.cov` gives); ddof=0: the
+        reference's ML covariance ``scm/tot - mu mu^T``
+        (metrics.py:118-122 ``calc_mean_var``) — use for numbers meant to
+        be compared against the paper's d-FID."""
+        assert self.n > ddof
         mu = self.s1 / self.n
-        cov = (self.s2 - self.n * np.outer(mu, mu)) / (self.n - 1)
+        cov = (self.s2 - self.n * np.outer(mu, mu)) / (self.n - ddof)
         return mu, cov
 
     def merge(self, other: "StreamingMoments") -> "StreamingMoments":

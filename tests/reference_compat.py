@@ -77,6 +77,32 @@ def _install_torchvision_shim() -> None:
                         "torchvision.models.feature_extraction": fe})
 
 
+def _install_stub_module(name: str, submodules=()) -> None:
+    """Empty placeholder modules for imports the metric files make but the
+    cross-checked code paths never touch (cellpose, pydata-sparse)."""
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    sys.modules[name] = mod
+    for sub in submodules:
+        full = f"{name}.{sub}"
+        sm = types.ModuleType(full)
+        setattr(mod, sub, sm)
+        sys.modules[full] = sm
+
+
+def import_reference_metrics():
+    """Return (utils.metrics, utils.inft_mba) from the reference, with
+    cellpose/sparse stubbed (only `calc_cellpose`/file IO touch them)."""
+    _install_stub_module("cellpose", ("plot", "models"))
+    _install_stub_module("sparse")
+    if str(REFERENCE_ROOT) not in sys.path:
+        sys.path.insert(0, str(REFERENCE_ROOT))
+    import utils.metrics as ref_metrics    # noqa: reference package
+    import utils.inft_mba as ref_inft      # noqa
+    return ref_metrics, ref_inft
+
+
 def import_reference():
     """Make /root/reference importable and return its key modules.
 
