@@ -200,8 +200,20 @@ class SyntheticDataset:
 
 
 def batches(dataset, batch_size: int, *, drop_last: bool = True,
-            prefetch: int = 2) -> Iterator[dict]:
-    """Threaded prefetching batch iterator -> dict of stacked numpy arrays."""
+            prefetch: int = 2, workers: int = 0) -> Iterator[dict]:
+    """Prefetching batch iterator -> dict of stacked numpy arrays.
+
+    ``workers=0``: one background IO thread (enough when samples are cheap
+    or the filesystem is fast).  ``workers>0``: that many worker PROCESSES
+    decode samples in parallel (the reference forks DataLoader workers,
+    config.py:253-278) — zarr decompression + COO block-sum are CPU-bound,
+    so scale workers to keep the device fed (scripts/bench_loader.py
+    measures samples/s per worker count).
+    """
+    if workers > 0:
+        yield from _mp_batches(dataset, batch_size, workers=workers,
+                               drop_last=drop_last, prefetch=prefetch)
+        return
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = object()
 
@@ -224,3 +236,55 @@ def batches(dataset, batch_size: int, *, drop_last: bool = True,
         if item is stop:
             break
         yield item
+
+
+def _mp_worker(dataset, wid: int, nw: int, q) -> None:
+    """Worker process: decode every nw-th sample and ship it back.
+
+    Runs in a spawned process — no jax import, numpy/tensorstore only.
+    Each worker reseeds its RNG so augmentations/crops are independent
+    (reference per-worker seeding semantics)."""
+    if hasattr(dataset, "rng"):
+        dataset.rng = np.random.default_rng(
+            np.random.SeedSequence([wid, len(dataset)]))
+    try:
+        for i in range(wid, len(dataset), nw):
+            s = dataset.sample(i)
+            q.put((s.image, s.rna))
+        q.put(None)
+    except Exception as e:  # surface worker crashes to the consumer
+        q.put(e)
+
+
+def _mp_batches(dataset, batch_size: int, *, workers: int,
+                drop_last: bool = True, prefetch: int = 4) -> Iterator[dict]:
+    import multiprocessing as mp
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue(maxsize=max(prefetch * batch_size, 2 * workers))
+    procs = [ctx.Process(target=_mp_worker, args=(dataset, w, workers, q),
+                         daemon=True) for w in range(workers)]
+    for p in procs:
+        p.start()
+    done = 0
+    buf_img, buf_rna = [], []
+    try:
+        while done < workers:
+            item = q.get()
+            if item is None:
+                done += 1
+                continue
+            if isinstance(item, Exception):
+                raise item
+            img, rna = item
+            buf_img.append(img)
+            buf_rna.append(rna)
+            if len(buf_img) == batch_size:
+                yield {"image": np.stack(buf_img), "rna": np.stack(buf_rna)}
+                buf_img, buf_rna = [], []
+        if buf_img and not drop_last:
+            yield {"image": np.stack(buf_img), "rna": np.stack(buf_rna)}
+    finally:
+        for p in procs:
+            if p.is_alive():
+                p.terminate()
+            p.join(timeout=5)

@@ -249,15 +249,33 @@ class Trainer:
 
         gen = jax.jit(sample_fn)(params, noise, rna_pat)
 
-        grid = jnp.concatenate([img, gen], axis=2)  # real | generated
-        arr = np.asarray(jnp.clip((grid + 1) * 127.5, 0, 255)).astype(
-            np.uint8)
+        # full sample grid (reference gen_sample, experiment.py:336-370):
+        # one row per sample; per z-channel a [blank|PolyT|DAPI] color
+        # composite, generated|real pairs side by side.  Channel layout is
+        # stain-major: c = s*zi + z.
+        arr = np.asarray(jnp.clip((jnp.stack([gen, img]) + 1) * 127.5,
+                                  0, 255)).astype(np.uint8)  # (2,b,H,W,C)
+        stains = 2 if conf.stain == "all" else 1
+        zi = arr.shape[-1] // stains
+
+        def rgb(panel, z):  # (H, W, C) -> (H, W, 3)
+            if stains == 2:
+                return np.stack([np.zeros_like(panel[..., 0]),
+                                 panel[..., zi + z], panel[..., z]], -1)
+            g = panel[..., z]
+            return np.stack([g, g, g], -1)
+
+        rows = []
+        for i in range(arr.shape[1]):
+            cells = []
+            for z in range(zi):
+                cells.append(rgb(arr[0, i], z))      # generated
+                cells.append(rgb(arr[1, i], z))      # real
+            rows.append(np.concatenate(cells, axis=1))
         out = Path(out_dir)
         out.mkdir(parents=True, exist_ok=True)
         path = out / f"{step}_DDIM.jpg"
-        # first channel of each stain side by side vertically per sample
-        panels = [arr[i, :, :, 0] for i in range(arr.shape[0])]
-        Image.fromarray(np.concatenate(panels, axis=0)).save(path)
+        Image.fromarray(np.concatenate(rows, axis=0)).save(path)
         return str(path)
 
     # ---------------- the loop ----------------

@@ -171,3 +171,19 @@ def test_merfish_train_dataset_reference_format(tmp_path):
     b = next(iter(batches(ds, 2)))
     assert b["image"].shape == (2, 64, 64, 4)
     assert b["rna"].shape == (2, 8, 8, 4 * gdim)
+
+
+def test_multiworker_batches_match_sample_set():
+    """workers>0 (process pool) yields the same multiset of samples as the
+    dataset defines, batched correctly (reference DataLoader fork workers,
+    config.py:253-278)."""
+    from tera_mind_tpu.data.dataset import SyntheticDataset, batches
+    ds = SyntheticDataset(n=12, crop=32, gdim=4, snum=4, stain="all",
+                          pad_bins=1)
+    got = list(batches(ds, 4, workers=2, drop_last=False))
+    assert sum(b["image"].shape[0] for b in got) == 12
+    assert got[0]["image"].shape[1:] == (32, 32, 4)
+    # deterministic dataset => the multiset of sample checksums matches
+    want_sums = sorted(float(ds.sample(i).image.sum()) for i in range(12))
+    got_sums = sorted(float(img.sum()) for b in got for img in b["image"])
+    np.testing.assert_allclose(got_sums, want_sums, rtol=1e-6)

@@ -101,3 +101,37 @@ def test_packed_train_step_matches_5d(setup):
     bound = 4 * conf.lr if jax.default_backend() in ("tpu", "axon") \
         else 5e-4
     assert max(jax.tree.leaves(d)) < bound, max(jax.tree.leaves(d))
+
+
+def test_preview_full_channel_grid(tmp_path):
+    """preview saves a generated|real grid covering ALL z-channels of both
+    stains (reference gen_sample grid, experiment.py:336-370)."""
+    from PIL import Image
+
+    from tera_mind_tpu.training.harness import Trainer
+    conf = TrainConfig(image_size=32, net_ch=8, embed_channels=32,
+                       rna_num=16, rna_slices=4, stain="all",
+                       batch_size=2, accum_batches=1, T_eval=2,
+                       compute_dtype="float32", train_crop=64, dropout=0.0,
+                       sample_size=2, base_dir=str(tmp_path))
+    tr = Trainer(conf, mesh=None)
+    rng = np.random.default_rng(0)
+    crop = conf.train_crop
+    gh = crop // 16 + conf.gn_sz
+    batch = {
+        "image": rng.standard_normal(
+            (2, crop, crop, conf.in_channels)).clip(-1, 1).astype(np.float32),
+        "rna": rng.integers(0, 3, (2, gh, gh, 4 * conf.rna_num)
+                            ).astype(np.float32),
+    }
+    state = tr.init_state(batch)
+    path = tr.preview(state, batch, str(tmp_path / "s"), step=1)
+    im = np.asarray(Image.open(path))
+    zi = conf.in_channels // 2
+    # rows = samples; cols = 2 (gen|real) * zi z-channels; RGB composite
+    assert im.shape == (2 * crop, 2 * zi * crop, 3), im.shape
+    # the [blank|PolyT|DAPI] composite: red is blank (jpg chroma bleed
+    # aside it stays well below the signal channels), G/B carry signal
+    assert im[..., 0].mean() < 0.5 * min(im[..., 1].mean(),
+                                         im[..., 2].mean())
+    assert im[..., 1].std() > 10 and im[..., 2].std() > 10
