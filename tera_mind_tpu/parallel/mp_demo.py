@@ -1,0 +1,148 @@
+"""Multi-process tera-generation demo + self-check.
+
+Runs the in-HBM SPMD generator over a mesh that SPANS PROCESSES (the
+TPU-native replacement for the reference's mp.spawn + NCCL + filesystem-halo
+orchestration, test_brn.py:26-48, 232-273):
+
+- ``jax.distributed.initialize`` brings up the multi-controller runtime
+  (reference ddp_setup, test_brn.py:26-35),
+- the ('gr','gc') mesh is laid out process-major so each process owns a
+  contiguous row band of the tile grid,
+- state and genes are built shard-by-shard from a per-tile provider via
+  ``jax.make_array_from_callback`` — each process touches ONLY its band
+  (no host ever holds the global gene stack),
+- the per-timestep halo exchange is the compiled ``ppermute`` collective
+  inside the shard_mapped step (parallel/halo.py), crossing process
+  boundaries over ICI/DCN (gloo on CPU) — no disk round-trip, no barriers.
+
+Each process finally recomputes the full grid single-device from the same
+provider and asserts its band matches bit-for-bit modulo float tolerance —
+the multi-process lock-step protocol check.
+
+Usage (one invocation per process):
+
+    python -m tera_mind_tpu.parallel.mp_demo \
+        --coordinator 127.0.0.1:29531 --num_processes 2 --process_id 0
+
+Driven automatically by ``__graft_entry__.dryrun_multichip`` and
+``tests/test_multiprocess.py`` with 2 processes x 4 CPU devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def leaky_model_fn(xp, tm, rp, p1, p2):
+    """Deterministic halo-sensitive mock model (same as
+    tests/test_generator.py): collage pred = windowed average of x + mean
+    rna bias; exercises the full data flow without network weights."""
+    import jax.numpy as jnp
+    from ..ops.collage import to_collage
+    ps = xp.shape[1]
+    x5 = xp.reshape(xp.shape[0], 1, ps, ps, xp.shape[-1])
+    col = to_collage(x5, p1, p2)[:, 0]
+    r5 = rp.reshape(rp.shape[0], 1, *rp.shape[1:])
+    col_r = to_collage(r5, p1, p2)[:, 0]
+    bias = col_r.mean(axis=(1, 2, 3))[:, None, None, None]
+    return 0.1 * col + 0.01 * bias, jnp.zeros_like(xp)
+
+
+def gene_provider(r: int, c: int) -> np.ndarray:
+    """Deterministic per-tile gene stack (provider-fed: called lazily,
+    per process, only for that process's shards)."""
+    g = _gconf()
+    rng = np.random.default_rng(100003 * r + c)
+    return rng.integers(0, 3, (g.gsz, g.gsz, g.z_pad, g.gdim)).astype(
+        np.uint8)
+
+
+def _gconf():
+    from .generator import GeneratorConfig
+    return GeneratorConfig(tile=32, patch=16, gn_blk=8, snum=4, n_slices=4,
+                           stains=1, gdim=6, noise_backend="jax")
+
+
+def _make_gen(mesh):
+    from ..diffusion.sampler import DiffusionSampler, SamplerConfig
+    from ..diffusion.schedule import spaced_schedule
+    from .generator import TeraGenerator
+    g = _gconf()
+    sched = spaced_schedule("linear", 1000, "ddim3")
+    sampler = DiffusionSampler(
+        sched, SamplerConfig(patch_size=g.patch, gn_sz=g.patch // g.gn_blk))
+    return TeraGenerator(sampler, leaky_model_fn, g, mesh=mesh)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num_processes", type=int, required=True)
+    ap.add_argument("--process_id", type=int, required=True)
+    ap.add_argument("--tiles_per_device", type=int, default=2)
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.distributed.initialize(coordinator_address=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
+    from jax.sharding import Mesh
+
+    # process-major device layout: row band i belongs to process i
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    nproc = jax.process_count()
+    ldc = jax.local_device_count()
+    mesh = Mesh(np.array(devs).reshape(nproc, ldc), ("gr", "gc"))
+
+    # cross-host coordination utilities (replaces torch.distributed
+    # barrier/broadcast, utils/dist_utils.py:5-24)
+    from .mesh import host_barrier, host_broadcast, is_primary
+    token = host_broadcast(np.int32(1234 if is_primary() else 0))
+    assert int(token) == 1234, token
+    host_barrier("mp_demo_start")
+
+    g = _gconf()
+    tpd = args.tiles_per_device
+    rows, cols = nproc * tpd, ldc * tpd
+
+    gen = _make_gen(mesh)
+    local = gen.run(gene_provider, rows=rows, cols=cols, row0=1, col0=1,
+                    grid_w=16, progress=False)
+    h0, w0 = getattr(gen, "_local_offset", (0, 0))
+
+    # independent single-device recomputation of the full grid; my band
+    # must agree (bitwise up to float reassociation)
+    ref = _make_gen(None).run(gene_provider, rows=rows, cols=cols,
+                              row0=1, col0=1, grid_w=16, progress=False)
+    band = ref[h0:h0 + local.shape[0], w0:w0 + local.shape[1]]
+    err = float(np.abs(band - local).max())
+    assert err < 1e-5, f"process {args.process_id} band mismatch: {err}"
+    print(f"[mp_demo] process {args.process_id}/{args.num_processes} ok "
+          f"(band offset {(h0, w0)}, local {local.shape}, max|diff|={err:.2e})",
+          flush=True)
+
+    # ---- band-parallel host-streaming mode (parallel/band.py): each
+    # process streams a row band, neighbor edge strips ppermuted per step
+    from ..parallel.band import StripExchange, band_partition
+    from ..parallel.streaming import StreamConfig, StreamingGenerator
+    r0_band, n_band = band_partition(rows, nproc, jax.process_index())
+    ex = StripExchange(g.pad, cols * g.tile, g.channels)
+    sgen = StreamingGenerator(_make_gen(None), StreamConfig(progress=False))
+    hstate = sgen.run(
+        n_band, cols,
+        lambda r, c: gene_provider(r0_band + r, c),
+        row0=1 + r0_band, col0=1, grid_w=16, strip_exchange=ex)
+    got = np.asarray(hstate.read)
+    want = ref[r0_band * g.tile:(r0_band + n_band) * g.tile]
+    err2 = float(np.abs(got - want).max())
+    assert err2 < 1e-5, \
+        f"process {args.process_id} streaming band mismatch: {err2}"
+    print(f"[mp_demo] process {args.process_id} band-streaming ok "
+          f"(rows {r0_band}..{r0_band + n_band}, max|diff|={err2:.2e})",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

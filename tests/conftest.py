@@ -25,10 +25,18 @@ import pytest  # noqa: E402
 
 
 def pytest_collection_modifyitems(config, items):
-    if os.environ.get("TMT_CPU_MESH") == "1":
+    # multi-device tests run by DEFAULT whenever the session has >=2
+    # devices (e.g. the documented 8-virtual-CPU run below); on a
+    # single-chip TPU they skip unless forced with TMT_CPU_MESH=1.
+    # Full multi-device suite:
+    #   PYTHONPATH= JAX_PLATFORMS=cpu \
+    #   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    #   JAX_COMPILATION_CACHE_DIR=.cache/jax_cpu python -m pytest tests/
+    if os.environ.get("TMT_CPU_MESH") == "1" or len(jax.devices()) >= 2:
         return
-    skip = pytest.mark.skip(reason="CPU-mesh tests gated (TMT_CPU_MESH=1); "
-                            "multi-device path covered by dryrun_multichip")
+    skip = pytest.mark.skip(reason="needs >=2 devices (run under "
+                            "xla_force_host_platform_device_count=8, see "
+                            "conftest); also covered by dryrun_multichip")
     for item in items:
         if "cpu_mesh" in item.keywords:
             item.add_marker(skip)

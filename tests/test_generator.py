@@ -313,3 +313,13 @@ def test_sharded_step_equals_single_device(setup):
                         NamedSharding(mesh, P("gr", "gc")))
     sharded = np.asarray(gen_sh.compile_step(2, 2)(st, ge, jnp.int32(1)))
     np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_provider_fed_run_matches_ndarray(setup):
+    """gen.run with a per-tile provider (lazy, per-shard loading) must equal
+    the ndarray path."""
+    _, gen, gene = setup
+    want = gen.run(gene, row0=1, col0=1, grid_w=16, progress=False)
+    got = gen.run(lambda r, c: gene[r, c], rows=2, cols=2, row0=1, col0=1,
+                  grid_w=16, progress=False)
+    np.testing.assert_array_equal(got, want)

@@ -225,3 +225,61 @@ def test_generator_bf16_state_dtype_preserved():
     assert s16.dtype == jnp.bfloat16
     diff = np.abs(np.asarray(s16, np.float32) - np.asarray(s32))
     assert diff.max() < 0.1, diff.max()
+
+
+def test_streaming_explicit_state_requires_start_t():
+    """Explicit state with no start_t must raise instead of silently
+    restarting the chain from T (round-1 VERDICT weak #5)."""
+    import pytest
+    gen, gconf = _mk()
+    rows = cols = 2
+    gene = np.zeros((rows, cols, gconf.gsz, gconf.gsz, gconf.z_pad,
+                     gconf.gdim), np.uint8)
+    sgen = StreamingGenerator(gen, StreamConfig(progress=False))
+    hs = HostState(rows, cols, gconf.tile, gconf.channels)
+    with pytest.raises(ValueError, match="start_t"):
+        sgen.run(rows, cols, gene, state=hs)
+
+
+def test_streaming_gene_cache_is_bounded():
+    """The per-window gene cache must stay LRU-bounded: a whole-brain sweep
+    would otherwise accumulate the full ~TB gene stack on the host."""
+    gen, gconf = _mk()
+    rows, cols = 2, 6          # 1x3 windows of 2x2 tiles per sweep
+    rng = np.random.default_rng(9)
+    gene = (rng.random((rows, cols, gconf.gsz, gconf.gsz, gconf.z_pad,
+                        gconf.gdim)) < 0.05).astype(np.uint8)
+    calls = []
+
+    def provider(r, c):
+        calls.append((r, c))
+        return gene[r, c]
+
+    sgen = StreamingGenerator(gen, StreamConfig(block_rows=2, block_cols=2,
+                                                progress=False,
+                                                gene_cache_windows=1))
+    got = np.asarray(sgen.run(rows, cols, provider, row0=1, col0=1).read)
+    want = gen.run(gene, row0=1, col0=1, progress=False)
+    np.testing.assert_array_equal(got, want)
+    # bound 1 < 3 windows per sweep => every sweep re-fetches every window
+    T = gen.sampler.schedule.num_timesteps
+    assert len(calls) == T * rows * cols
+
+
+def test_streaming_multi_device_matches_single():
+    """Round-robining the window sweep over several local devices must be
+    bit-identical to the single-device sweep (shared read buffer)."""
+    import pytest
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >1 local device")
+    gen, gconf = _mk()
+    rows = cols = 3
+    rng = np.random.default_rng(11)
+    gene = (rng.random((rows, cols, gconf.gsz, gconf.gsz, gconf.z_pad,
+                        gconf.gdim)) < 0.05).astype(np.uint8)
+    sconf = StreamConfig(block_rows=2, block_cols=2, progress=False)
+    want = np.asarray(StreamingGenerator(gen, sconf)
+                      .run(rows, cols, gene, row0=1, col0=1).read)
+    got = np.asarray(StreamingGenerator(gen, sconf, devices=jax.devices())
+                     .run(rows, cols, gene, row0=1, col0=1).read)
+    np.testing.assert_array_equal(got, want)
