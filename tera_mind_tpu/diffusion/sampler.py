@@ -141,12 +141,17 @@ class DiffusionSampler:
     # ------------------------------------------------------------------ #
     def training_loss(self, model: ModelFn, x_start_pad: jnp.ndarray,
                       rna_pad: jnp.ndarray, t: jnp.ndarray,
-                      rng: jax.Array) -> jnp.ndarray:
+                      rng: jax.Array, *,
+                      noise: Optional[jnp.ndarray] = None,
+                      block_idx: Optional[tuple] = None) -> jnp.ndarray:
         """Dual-decoder patch loss on a random 2x2 patch block.
 
         x_start_pad: (B, H+ps, W+ps, C) zero-padded training image
         rna_pad:     (B, gh+gn, gw+gn, Zrna*G) zero-padded dense gene grid
         t:           (B,) int32 timesteps on the TRAIN schedule
+        noise/block_idx: inject the Gaussian noise / the 2x2 crop origin
+        (reference training_losses' `noise=` param and randrange crop,
+        base.py:192, 221-224) — used by the cross-framework parity tests.
         """
         ps = self.conf.patch_size
         gn = self.conf.gn_sz
@@ -155,8 +160,9 @@ class DiffusionSampler:
         p_x, p_y = hp // ps - 1, wp // ps - 1
 
         rng_noise, rng_ix, rng_iy = jax.random.split(rng, 3)
-        noise = jax.random.normal(rng_noise, x_start_pad.shape,
-                                  x_start_pad.dtype)
+        if noise is None:
+            noise = jax.random.normal(rng_noise, x_start_pad.shape,
+                                      x_start_pad.dtype)
         x_t = self.schedule.q_sample(x_start_pad, t, noise)
 
         # interior mask: 1 inside the original image, 0 on the pad border
@@ -167,8 +173,11 @@ class DiffusionSampler:
         x_t = x_t * mask
 
         # shared random 2x2-patch-block origin (base.py:221-224)
-        ix = jax.random.randint(rng_ix, (), 0, p_x)
-        iy = jax.random.randint(rng_iy, (), 0, p_y)
+        if block_idx is None:
+            ix = jax.random.randint(rng_ix, (), 0, p_x)
+            iy = jax.random.randint(rng_iy, (), 0, p_y)
+        else:
+            ix, iy = (jnp.asarray(v, jnp.int32) for v in block_idx)
 
         def crop(img, scale, size, nc):
             return jax.lax.dynamic_slice(

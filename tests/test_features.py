@@ -1,6 +1,7 @@
 """Feature-extraction + morphology tests (CPU-only numpy paths)."""
 
 import numpy as np
+import pytest
 
 from tera_mind_tpu.metrics.features import (PoolFeatures, collect_moments,
                                             d_fid_between_stores)
@@ -59,3 +60,37 @@ def test_nuclei_stats_counts_blobs():
     assert (st.sizes > 5).all()
     s = st.summary()
     assert s["count"] == 5 and s["size_mean"] > 0
+
+
+def test_torchscript_features_end_to_end(tmp_path):
+    """TorchscriptFeatures drives a real torch.jit archive (the reference's
+    NVlabs-InceptionV3 loading path, feat_mba.py:29-42) through the full
+    d-FID pipeline."""
+    torch = pytest.importorskip("torch")
+    from tera_mind_tpu.metrics.features import (TorchscriptFeatures,
+                                                d_fid_between_stores)
+
+    class Toy(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(3, 8, 3, stride=4)
+
+        def forward(self, x):
+            h = torch.relu(self.conv(x))
+            return torch.flatten(
+                torch.nn.functional.adaptive_avg_pool2d(h, 2), 1)
+
+    path = tmp_path / "toy.pt"
+    torch.jit.script(Toy().eval()).save(str(path))
+    fx = TorchscriptFeatures(path, dim=32, resize=64)
+
+    rng = np.random.default_rng(0)
+    feats = fx(rng.random((3, 48, 48)).astype(np.float32))
+    assert feats.shape == (3, 32)
+
+    gen = [rng.random((48, 48)).astype(np.float32) for _ in range(40)]
+    real = [g + 0.1 * rng.standard_normal(g.shape) for g in gen]
+    fid_same = d_fid_between_stores(iter(gen), iter(gen), fx)
+    fid_diff = d_fid_between_stores(iter(gen), iter(real), fx)
+    assert abs(fid_same) < 1e-6
+    assert fid_diff > fid_same

@@ -191,3 +191,73 @@ def test_forward_parity_flagship_size(tmp_path):
     # the BASELINE.json north-star bound, directly
     assert mae_col < 1e-3, f"flagship collage MAE {mae_col}"
     assert mae_orig < 1e-3, f"flagship original MAE {mae_orig}"
+
+
+def test_training_loss_parity(tiny_pair, monkeypatch):
+    """Dual-decoder patch-block training loss vs reference training_losses
+    (base.py:181-289), same noise, same crop origin, same timestep."""
+    from reference_compat import import_reference
+    _, _, ref_base, _choices = import_reference()
+    tmodel, model, params, _ = tiny_pair
+    ps, gn, b = 32, 2, 1
+    hp = wp = 3 * ps          # padded image: 2x2-patch crop + half-pad
+    rng = np.random.default_rng(6)
+    x_pad = np.zeros((b, hp, wp, 4), np.float32)
+    x_pad[:, ps // 2:-ps // 2, ps // 2:-ps // 2] = rng.standard_normal(
+        (b, hp - ps, wp - ps, 4)).clip(-1, 1)
+    rna_pad = np.zeros((b, hp // 16, wp // 16, 4 * G_DATA), np.float32)
+    rna_pad[:, 1:-1, 1:-1] = rng.integers(
+        0, 3, (b, hp // 16 - 2, wp // 16 - 2, 4 * G_DATA))
+    noise = rng.standard_normal(x_pad.shape).astype(np.float32)
+    t0, ix, iy = 700, 1, 0
+
+    # ---- reference: full-T spaced sampler (identity timestep map, so the
+    # _WrappedModel r->rna translation happens like in training,
+    # diffusion.py:123-161), sparse rna tuple, cuda shims
+    sampler_t = build_reference_sampler(T=1000, T_eval=1000, image_size=ps)
+
+    orig_tensor = torch.tensor
+
+    def cpu_tensor(*a, **k):
+        if k.get("device") == "cuda":
+            k["device"] = "cpu"
+        return orig_tensor(*a, **k)
+    monkeypatch.setattr(ref_base.th, "tensor", cpu_tensor)
+    crops = iter([ix, iy])
+    monkeypatch.setattr(ref_base.random, "randrange",
+                        lambda n: next(crops))
+
+    nz = np.nonzero(rna_pad)
+    r_start = (torch.from_numpy(rna_pad[nz].astype(np.float32)),
+               torch.from_numpy(np.stack(nz).astype(np.int64)),
+               torch.Size(rna_pad.shape))
+    loss_mask = np.zeros((b, 1, hp, wp), np.float32)
+    loss_mask[:, :, ps // 2:-ps // 2, ps // 2:-ps // 2] = 1.0
+    with torch.no_grad():
+        terms = sampler_t.training_losses(
+            model=tmodel,
+            x_start=torch.from_numpy(x_pad.transpose(0, 3, 1, 2)),
+            r_start=r_start,
+            imgs=torch.zeros((b, 4, hp - ps, wp - ps)),
+            t=torch.tensor([t0]),
+            pos=torch.zeros((hp // ps, wp // ps, 2)),
+            loss_mask=torch.from_numpy(loss_mask),
+            idx=torch.tensor([0]),
+            patch_size=ps,
+            noise=torch.from_numpy(noise.transpose(0, 3, 1, 2)))
+    want = float(terms["loss"])
+
+    # ---- ours: same noise/crop/timestep; q_sample noise layout matches
+    from tera_mind_tpu.diffusion.schedule import train_schedule
+    ours = DiffusionSampler(train_schedule("linear", 1000),
+                            SamplerConfig(patch_size=ps, gn_sz=gn))
+
+    def model_fn(xp, tm, rp, p1, p2):
+        return model.apply(params, xp, tm, rp, p1, p2)
+
+    with jax.default_matmul_precision("highest"):
+        got = float(ours.training_loss(
+            model_fn, jnp.asarray(x_pad), jnp.asarray(rna_pad),
+            jnp.array([t0], jnp.int32), jax.random.PRNGKey(0),
+            noise=jnp.asarray(noise), block_idx=(ix, iy)))
+    assert abs(got - want) < (1e-5 if _ON_CPU else 1e-3), (got, want)
