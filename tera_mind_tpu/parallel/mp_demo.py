@@ -76,13 +76,84 @@ def _make_gen(mesh):
     return TeraGenerator(sampler, leaky_model_fn, g, mesh=mesh)
 
 
+def _train_conf(base_dir: str):
+    from ..config import TrainConfig
+    return TrainConfig(image_size=32, net_ch=8, embed_channels=32,
+                       rna_num=16, rna_slices=4, stain="all",
+                       batch_size=8, accum_batches=2, lr=1e-3,
+                       compute_dtype="float32", train_crop=64, dropout=0.0,
+                       base_dir=base_dir, save_every_steps=10 ** 9)
+
+
+def _train_batch(conf, step: int, lo: int = 0, hi: int = 16) -> dict:
+    """Deterministic global effective batch (16 samples), sliced [lo:hi].
+
+    Global sample order must match the dp layout the multi-process path
+    produces: accum row-major with per-process blocks, i.e.
+    [p0 s0-3, p1 s0-3, p0 s4-7, p1 s4-7] for 2 procs x accum 2."""
+    rng = np.random.default_rng(1000 + step)
+    crop = conf.train_crop
+    gh = crop // 16 + conf.gn_sz
+    b = {"image": rng.standard_normal(
+            (16, crop, crop, conf.in_channels)).clip(-1, 1).astype(
+                np.float32),
+         "rna": rng.integers(0, 3, (16, gh, gh, 4 * conf.rna_num)).astype(
+             np.float32)}
+    return {k: v[lo:hi] for k, v in b.items()}
+
+
+def _interleave_for_single(conf, step: int, nproc: int, per: int) -> dict:
+    """Reorder the global batch so a single-process run forms the same
+    (accum, micro) grid as the multi-process assembly."""
+    b = _train_batch(conf, step)
+    a = conf.accum_batches
+    loc_micro = per // a
+    out = {}
+    for k, v in b.items():
+        rows = []
+        for ai in range(a):
+            for p in range(nproc):
+                s = p * per + ai * loc_micro
+                rows.append(v[s:s + loc_micro])
+        out[k] = np.concatenate(rows)
+    return out
+
+
+def train_ref(steps: int = 3) -> None:
+    """Single-process reference: same global batches, one device."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from ..training.harness import Trainer
+    conf = _train_conf("/tmp/mp_demo_ref_ckpt")
+    tr = Trainer(conf, mesh=Mesh(np.array(jax.devices()[:1]), ("dp",)))
+    batches = [_interleave_for_single(conf, s, 2, 8) for s in range(steps)]
+    state = tr.init_state(batches[0])
+    losses = []
+    for b in batches:
+        sb = {k: jnp.asarray(v).reshape(conf.accum_batches, -1,
+                                        *v.shape[1:])
+              for k, v in b.items()}
+        state, loss = tr.train_step(state, sb, jax.random.PRNGKey(7))
+        losses.append(float(loss))
+    print("[mp_demo] train_ref losses: " +
+          " ".join(f"{v:.6f}" for v in losses), flush=True)
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--coordinator", required=True)
-    ap.add_argument("--num_processes", type=int, required=True)
-    ap.add_argument("--process_id", type=int, required=True)
+    ap.add_argument("--train_ref", action="store_true",
+                    help="single-process training reference (no "
+                    "jax.distributed); prints the loss history")
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     ap.add_argument("--tiles_per_device", type=int, default=2)
     args = ap.parse_args(argv)
+
+    if args.train_ref:
+        train_ref()
+        return
 
     import jax
     jax.distributed.initialize(coordinator_address=args.coordinator,
@@ -142,6 +213,35 @@ def main(argv=None) -> None:
     print(f"[mp_demo] process {args.process_id} band-streaming ok "
           f"(rows {r0_band}..{r0_band + n_band}, max|diff|={err2:.2e})",
           flush=True)
+
+    # ---- multi-process data-parallel TRAINING (reference Lightning DDP,
+    # experiment.py:485): per-process batch shards assembled with
+    # make_array_from_process_local_data, grads all-reduced by the
+    # compiled psum across processes.  The spawner compares the printed
+    # loss history against the single-process --train_ref run.
+    import jax.numpy as jnp
+    from ..training.harness import Trainer
+    rank = jax.process_index()
+    conf_t = _train_conf(f"/tmp/mp_demo_ckpt_p{rank}")
+    dmesh = Mesh(np.array(devs).reshape(-1), ("dp",))
+    tr = Trainer(conf_t, mesh=dmesh)
+    per = 16 // nproc
+    state = tr.init_state(_train_batch(conf_t, 0, lo=rank * per,
+                                       hi=(rank + 1) * per))
+    state = jax.device_put(state, tr._rep_sharding)
+    a = conf_t.accum_batches
+    losses = []
+    for s in range(3):
+        loc = _train_batch(conf_t, s, lo=rank * per, hi=(rank + 1) * per)
+        batch = {k: jax.make_array_from_process_local_data(
+                     tr._batch_sharding,
+                     np.asarray(v).reshape(a, per // a, *v.shape[1:]))
+                 for k, v in loc.items()}
+        state, loss = tr.train_step(state, batch, jax.random.PRNGKey(7))
+        losses.append(float(loss))
+    if rank == 0:
+        print("[mp_demo] train losses: " +
+              " ".join(f"{v:.6f}" for v in losses), flush=True)
 
 
 if __name__ == "__main__":

@@ -305,24 +305,35 @@ class Trainer:
         if self._rep_sharding is not None:
             state = jax.device_put(state, self._rep_sharding)
 
+        nproc = jax.process_count()
+
         def shape_batch(b):
             # split the loader's (effective) batch into `accum` microbatches;
             # clamp so a batch smaller than accum_batches still trains (one
-            # sample per microbatch) instead of producing empty means
+            # sample per microbatch) instead of producing empty means.
+            # Multi-process: the iterator yields this process's LOCAL shard
+            # of the global batch (reference DistributedSampler semantics,
+            # config.py:261-266); shapes below are per-process, assembled
+            # into the global array with make_array_from_process_local_data.
             img, rna = b["image"], b["rna"]
-            a = max(1, min(conf.accum_batches, img.shape[0]))
-            micro = img.shape[0] // a
+            glob = img.shape[0] * nproc
+            a = max(1, min(conf.accum_batches, glob))
+            micro = glob // a
             if self.mesh is not None:
-                # microbatch must tile the dp axis evenly
+                # (global) microbatch must tile the dp axis evenly
                 ndp = self.mesh.devices.size
-                assert img.shape[0] >= ndp, \
-                    f"batch {img.shape[0]} < dp devices {ndp}"
+                assert glob >= ndp, f"batch {glob} < dp devices {ndp}"
                 micro = micro // ndp * ndp
                 if micro == 0:
                     micro = ndp
-                    a = max(1, img.shape[0] // micro)
-            img = img[: a * micro].reshape(a, micro, *img.shape[1:])
-            rna = rna[: a * micro].reshape(a, micro, *rna.shape[1:])
+                    a = max(1, glob // micro)
+            loc = a * micro // nproc
+            img = img[:loc].reshape(a, micro // nproc, *img.shape[1:])
+            rna = rna[:loc].reshape(a, micro // nproc, *rna.shape[1:])
+            if nproc > 1:
+                return {k: jax.make_array_from_process_local_data(
+                            self._batch_sharding, np.asarray(v))
+                        for k, v in (("image", img), ("rna", rna))}
             out = {"image": jnp.asarray(img), "rna": jnp.asarray(rna)}
             if self._batch_sharding is not None:
                 out = {k: jax.device_put(v, self._batch_sharding)

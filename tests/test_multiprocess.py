@@ -48,3 +48,20 @@ def test_two_process_generation_matches_single_device():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
         assert f"[mp_demo] process {i}/2 ok" in out, out[-3000:]
+        assert f"[mp_demo] process {i} band-streaming ok" in out, out[-3000:]
+
+    # multi-process dp TRAINING loss history == single-process reference
+    ref = subprocess.run(
+        [sys.executable, "-m", "tera_mind_tpu.parallel.mp_demo",
+         "--train_ref"], env=env, cwd=REPO, capture_output=True, text=True,
+        timeout=900)
+    assert ref.returncode == 0, ref.stdout[-2000:] + ref.stderr[-1000:]
+
+    def losses(text, tag):
+        line = [l for l in text.splitlines() if tag in l][0]
+        return [float(v) for v in line.split(":")[1].split()]
+
+    got = losses(outs[0], "train losses")
+    want = losses(ref.stdout, "train_ref losses")
+    assert len(got) == len(want) == 3
+    assert all(abs(a - b) < 2e-5 for a, b in zip(got, want)), (got, want)
