@@ -117,12 +117,16 @@ def main():
     dt = time.time() - t0
 
     tiles = rows * cols
-    tiles_per_sec = tiles / dt
+    # normalize to the full-15-step-DDIM rate: each step costs the same, so
+    # short BENCH_STEPS runs (big-grid ladder points) report the same
+    # metric as a full run
+    tiles_per_sec = tiles / (dt * 15.0 / steps)
     print(json.dumps({
         "metric": "256x256x100ch tiles/sec/chip, full 15-step DDIM",
         "value": round(tiles_per_sec, 5),
         "unit": "tiles/s/chip",
         "vs_baseline": round(tiles_per_sec / REF_TILES_PER_SEC_PER_GPU, 2),
+        "grid": f"{rows}x{cols}",
     }))
 
 

@@ -101,6 +101,11 @@ def main():
                     help="tiles per streamed device window (per side)")
     ap.add_argument("--stream_memmap", type=str, default=None,
                     help="disk-back the host state (beyond-RAM grids)")
+    ap.add_argument("--stream_dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="host<->device state transfer dtype; bfloat16 "
+                    "halves the dominant streaming cost (the reference "
+                    "round-trips fp16 state through disk every step)")
     ap.add_argument("--tile_major", action="store_true",
                     help="per-tile window processing (the reference's "
                     "layout); default is block-major — one patch grid over "
@@ -265,7 +270,8 @@ def main():
             block_rows=args.stream_block, block_cols=args.stream_block,
             checkpoint_every=args.ckpt_every,
             memmap_dir=args.stream_memmap,
-            block_major=not args.tile_major),
+            block_major=not args.tile_major,
+            transfer_dtype=args.stream_dtype),
             devices=jax.local_devices() if jax.local_device_count() > 1
             else None)
         hstate = None

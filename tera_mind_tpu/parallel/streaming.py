@@ -129,6 +129,22 @@ class StreamConfig:
                                  # the cache to the full ~TB gene stack).
                                  # Peak host memory stays ~2 state buffers +
                                  # O(gene_cache_windows) gene blocks.
+    transfer_dtype: str = "float32"  # host<->device state dtype.
+                                 # "bfloat16" halves the dominant cost of
+                                 # streaming (the per-window state round
+                                 # trip); the reference round-trips fp16
+                                 # through disk every step (test_brn.py
+                                 # zarr f2), so reduced-precision interstep
+                                 # state matches its regime.  Opt-in: f32
+                                 # default keeps bit-equality with the
+                                 # in-HBM generator (tests/test_streaming).
+    pipeline: bool = True        # dispatch window k+1 before fetching
+                                 # window k's output: device compute +
+                                 # transfers overlap the host-side halo
+                                 # assembly of the next window (jax async
+                                 # dispatch).  Results are identical —
+                                 # windows write disjoint regions and read
+                                 # the immutable read buffer.
 
 
 class StreamingGenerator:
@@ -163,8 +179,11 @@ class StreamingGenerator:
         Returns (br*tile, bc*tile, ch)."""
         c = self.gen.conf
         br, bc = gene_blk.shape[:2]
+        padded = padded.astype(jnp.float32)  # no-op for f32 transfers
+        out_dt = getattr(jnp, self.sconf.transfer_dtype)
         if self.sconf.block_major:
-            return self.gen._window_update(params, padded, gene_blk, t)
+            return self.gen._window_update(params, padded, gene_blk,
+                                           t).astype(out_dt)
 
         def body(carry, idx):
             r, cc = idx // bc, idx % bc
@@ -175,7 +194,7 @@ class StreamingGenerator:
         _, tiles = jax.lax.scan(body, 0, jnp.arange(br * bc))
         tiles = tiles.reshape(br, bc, c.tile, c.tile, c.channels)
         return tiles.transpose(0, 2, 1, 3, 4).reshape(
-            br * c.tile, bc * c.tile, c.channels)
+            br * c.tile, bc * c.tile, c.channels).astype(out_dt)
 
     # ---- init ----------------------------------------------------------
     def init_state(self, state: HostState, *, row0: int = 1, col0: int = 1,
@@ -288,10 +307,18 @@ class StreamingGenerator:
 
         exchange_ghosts()
 
-        def do_window(r0: int, c0: int, device=None) -> None:
+        tdt = np.dtype(getattr(jnp, self.sconf.transfer_dtype))
+
+        def dispatch_window(r0: int, c0: int, device=None):
+            """Assemble + enqueue one window; returns the (async) device
+            output with its destination.  jax dispatch returns before the
+            compute finishes, so the caller can overlap the next window's
+            host-side assembly with this one's transfer + compute."""
             padded = state.padded_window(r0, c0, br, bc, self._pad,
                                          ghost_top=ghosts[0],
                                          ghost_bot=ghosts[1])
+            if tdt != np.float32:
+                padded = padded.astype(tdt)  # halve the H2D bytes
             gb = gene_block(r0, c0)
             if device is None:
                 out = self._window_fn(self.gen.params, jnp.asarray(padded),
@@ -302,9 +329,17 @@ class StreamingGenerator:
                     jax.device_put(padded, device),
                     jax.device_put(gb, device),
                     jax.device_put(np.int32(t), device))
+            return out, r0, c0
+
+        def fetch_window(pending) -> None:
+            out, r0, c0 = pending
             ht, wt = r0 * c.tile, c0 * c.tile
             state.write[ht: ht + br * c.tile,
-                        wt: wt + bc * c.tile] = np.asarray(out)
+                        wt: wt + bc * c.tile] = \
+                np.asarray(out).astype(np.float32, copy=False)
+
+        def do_window(r0: int, c0: int, device=None) -> None:
+            fetch_window(dispatch_window(r0, c0, device))
 
         pool = None
         if self.devices and len(self.devices) > 1:
@@ -313,9 +348,18 @@ class StreamingGenerator:
 
         for t in range(start_t - 1, -1, -1):
             if pool is None:
-                for r0, c0 in windows:
-                    do_window(r0, c0,
-                              self.devices[0] if self.devices else None)
+                dev = self.devices[0] if self.devices else None
+                if self.sconf.pipeline:
+                    pending = None
+                    for r0, c0 in windows:
+                        nxt = dispatch_window(r0, c0, dev)
+                        if pending is not None:
+                            fetch_window(pending)
+                        pending = nxt
+                    fetch_window(pending)
+                else:
+                    for r0, c0 in windows:
+                        do_window(r0, c0, dev)
             else:
                 # round-robin the window sweep over local devices; writes
                 # are disjoint and halos read the immutable read-buffer, so

@@ -283,3 +283,46 @@ def test_streaming_multi_device_matches_single():
     got = np.asarray(StreamingGenerator(gen, sconf, devices=jax.devices())
                      .run(rows, cols, gene, row0=1, col0=1).read)
     np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_pipeline_off_matches():
+    """pipeline=False (strict dispatch->fetch per window) must be
+    bit-identical to the default pipelined sweep — windows write disjoint
+    regions of the write buffer and read the immutable read buffer, so
+    dispatch depth cannot change results."""
+    gen, gconf = _mk()
+    rows = cols = 3
+    rng = np.random.default_rng(13)
+    gene = (rng.random((rows, cols, gconf.gsz, gconf.gsz, gconf.z_pad,
+                        gconf.gdim)) < 0.05).astype(np.uint8)
+    piped = np.asarray(StreamingGenerator(gen, StreamConfig(
+        block_rows=2, block_cols=2, progress=False, pipeline=True))
+        .run(rows, cols, gene, row0=1, col0=1).read)
+    strict = np.asarray(StreamingGenerator(gen, StreamConfig(
+        block_rows=2, block_cols=2, progress=False, pipeline=False))
+        .run(rows, cols, gene, row0=1, col0=1).read)
+    np.testing.assert_array_equal(piped, strict)
+
+
+def test_streaming_bf16_transfer_close_to_f32():
+    """transfer_dtype='bfloat16' halves the host<->device state round trip
+    (the dominant streaming cost); the inter-step rounding it introduces
+    must stay small (the reference round-trips fp16 state through disk
+    every step, test_brn.py's zarr f2 stores)."""
+    gen, gconf = _mk()
+    rows = cols = 2
+    rng = np.random.default_rng(17)
+    gene = (rng.random((rows, cols, gconf.gsz, gconf.gsz, gconf.z_pad,
+                        gconf.gdim)) < 0.05).astype(np.uint8)
+    f32 = np.asarray(StreamingGenerator(gen, StreamConfig(
+        block_rows=2, block_cols=2, progress=False))
+        .run(rows, cols, gene, row0=1, col0=1).read)
+    bf16 = np.asarray(StreamingGenerator(gen, StreamConfig(
+        block_rows=2, block_cols=2, progress=False,
+        transfer_dtype="bfloat16"))
+        .run(rows, cols, gene, row0=1, col0=1).read)
+    assert np.isfinite(bf16).all()
+    # bf16 has 8 mantissa bits; a 3-step DDIM chain in [-1, 1] stays
+    # within a few ULP of the f32 sweep
+    assert np.max(np.abs(bf16 - f32)) < 0.05
+    assert np.mean(np.abs(bf16 - f32)) < 5e-3
