@@ -72,7 +72,10 @@ def main():
             conf.make_model_conf())
         params = jax.tree.map(lambda p: jnp.asarray(p, jnp.bfloat16),
                               params)
-        model = PackedTeraUNet(conf.make_model_conf())
+        # BENCH_QUANT=int8: dynamic-int8 resblock convs on the MXU
+        # (2x bf16 peak; ops/quant.py, quality bound in tests/test_quant)
+        model = PackedTeraUNet(conf.make_model_conf(),
+                               quant=os.environ.get("BENCH_QUANT") or None)
 
     def model_fn(p, xp, tm, rp, p1, p2):
         # inference uses only the collage decode (base.py:387); params flow

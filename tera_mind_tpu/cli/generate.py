@@ -111,6 +111,10 @@ def main():
                     "layout); default is block-major — one patch grid over "
                     "the local block, ~36%% fewer patches at scale, "
                     "identical results (tests/test_generator.py)")
+    ap.add_argument("--quant", default="", choices=("", "int8"),
+                    help="int8: dynamic-quant resblock convs on the MXU "
+                    "(2x bf16 peak; ops/quant.py — quality bound in "
+                    "tests/test_quant.py; requires the packed model)")
     ap.add_argument("--no_packed", action="store_true",
                     help="run the 5D-layout TeraUNet instead of the "
                     "z-packed exact reparameterization (models/"
@@ -175,7 +179,8 @@ def main():
         params = pack_unet_params(
             jax.tree.map(lambda p: np.asarray(p, np.float32), params),
             conf.make_model_conf())
-        model = PackedTeraUNet(conf.make_model_conf())
+        model = PackedTeraUNet(conf.make_model_conf(),
+                               quant=args.quant or None)
 
     params = jax.tree.map(
         lambda p: jnp.asarray(p, jnp.bfloat16), params)

@@ -120,12 +120,39 @@ def _down2(x):
 
 
 def conv2p(features, kernel=(3, 3), *, zero_init=False, dtype=None,
-           name=None):
+           quant=None, name=None):
     pad = [((k - 1) // 2,) * 2 for k in kernel]
     init = nn.initializers.zeros if zero_init \
         else nn.initializers.lecun_normal()
+    if quant == "int8":
+        return QuantConv2p(features=features, kernel_size=tuple(kernel),
+                           kernel_init=init, dtype=dtype, name=name)
     return nn.Conv(features, kernel_size=tuple(kernel), padding=pad,
                    use_bias=True, kernel_init=init, dtype=dtype, name=name)
+
+
+class QuantConv2p(nn.Module):
+    """Drop-in int8 replacement for conv2p's nn.Conv: identical param
+    shapes/names ("kernel" (kh,kw,ci,co), "bias" (co,)), so packed param
+    trees load unchanged; execution runs the dynamic-int8 MXU path
+    (ops/quant.py).  Inference-only — no custom VJP."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    kernel_init: nn.initializers.Initializer = \
+        nn.initializers.lecun_normal()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.quant import quant_conv2d
+        kh, kw = self.kernel_size
+        w = self.param("kernel", self.kernel_init,
+                       (kh, kw, x.shape[-1], self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = [((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2]
+        return quant_conv2d(x, w, b, pad,
+                            out_dtype=self.dtype or x.dtype)
 
 
 class Conv3DAsPacked(nn.Module):
@@ -145,6 +172,7 @@ class Conv3DAsPacked(nn.Module):
     segments: Optional[Tuple[int, ...]] = None
     zero_init: bool = False
     dtype: Optional[jnp.dtype] = None
+    quant: Optional[str] = None   # 'int8' -> dynamic-quant MXU path
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -156,8 +184,13 @@ class Conv3DAsPacked(nn.Module):
         w3 = self.param("kernel", init, (kz, ky, kx, ci, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         dt = self.dtype or x.dtype
-        w2 = pack_conv3d_kernel_jnp(w3.astype(dt), z, self.segments)
         pad = [((ky - 1) // 2,) * 2, ((kx - 1) // 2,) * 2]
+        if self.quant == "int8":
+            from ..ops.quant import quant_conv2d
+            w2 = pack_conv3d_kernel_jnp(w3.astype(jnp.float32), z,
+                                        self.segments)
+            return quant_conv2d(x, w2, jnp.tile(b, z), pad, out_dtype=dt)
+        w2 = pack_conv3d_kernel_jnp(w3.astype(dt), z, self.segments)
         y = jax.lax.conv_general_dilated(
             x.astype(dt), w2, (1, 1), pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -180,15 +213,17 @@ class PackedResBlock(nn.Module):
     use_zero_module: bool = True
     compute_dtype: jnp.dtype = jnp.float32
     from_5d: bool = False      # params in TeraUNet's (3D/5D) shapes
+    quant: Optional[str] = None  # 'int8' on the resblock convs
 
     def _conv(self, features, kernel3, *, zero_init=False, segments=None,
               name=None):
         if self.from_5d:
             return Conv3DAsPacked(features=features, z=self.z,
                                   kernel3=kernel3, segments=segments,
-                                  zero_init=zero_init,
+                                  zero_init=zero_init, quant=self.quant,
                                   dtype=self.compute_dtype, name=name)
         return conv2p(self.z * features, kernel3[1:], zero_init=zero_init,
+                      quant=self.quant,
                       dtype=self.compute_dtype, name=name)
 
     @nn.compact
@@ -249,6 +284,9 @@ class PackedTeraUNet(nn.Module):
 
     conf: TeraUNetConfig
     from_5d: bool = False
+    quant: Optional[str] = None   # 'int8': dynamic-quant resblock convs
+                                  # (stem/out_conv stay high-precision —
+                                  # they touch raw pixels); inference-only
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, rna: jnp.ndarray,
@@ -297,7 +335,7 @@ class PackedTeraUNet(nn.Module):
         k = 1
         for lvl, mult in enumerate(conf.channel_mult):
             if lvl > 0:
-                h = PackedResBlock(from_5d=self.from_5d, out_channels=h.shape[-1] // z, z=z,
+                h = PackedResBlock(from_5d=self.from_5d, quant=self.quant, out_channels=h.shape[-1] // z, z=z,
                                    down=True, dropout=conf.dropout,
                                    use_zero_module=conf.use_zero_module,
                                    compute_dtype=dt, name=f"enc_{k}_res")(
@@ -311,7 +349,7 @@ class PackedTeraUNet(nn.Module):
             for _ in range(nrb):
                 segs = (h.shape[-1] // z, rfeat.shape[-1] // z)
                 h = jnp.concatenate([h, rfeat], axis=-1)
-                h = PackedResBlock(from_5d=self.from_5d, out_channels=mult * conf.model_channels,
+                h = PackedResBlock(from_5d=self.from_5d, quant=self.quant, out_channels=mult * conf.model_channels,
                                    z=z, in_segments=segs,
                                    dropout=conf.dropout,
                                    compute_dtype=dt,
@@ -329,7 +367,7 @@ class PackedTeraUNet(nn.Module):
 
         segs = (h.shape[-1] // z, rna_feats[0].shape[-1] // z)
         h = jnp.concatenate([h, rna_feats[0]], axis=-1)
-        h = PackedResBlock(from_5d=self.from_5d, out_channels=h.shape[-1] // z - rna_och[0], z=z,
+        h = PackedResBlock(from_5d=self.from_5d, quant=self.quant, out_channels=h.shape[-1] // z - rna_och[0], z=z,
                            in_segments=segs,
                            dropout=conf.dropout, compute_dtype=dt,
                            use_zero_module=conf.use_zero_module,
@@ -339,7 +377,7 @@ class PackedTeraUNet(nn.Module):
                        num_heads=conf.num_heads, n_win=2, dtype=dt,
                        name="mid_attn")
         h = attn(blk, h, rna_feats5[0])
-        h = PackedResBlock(from_5d=self.from_5d, out_channels=h.shape[-1] // z, z=z,
+        h = PackedResBlock(from_5d=self.from_5d, quant=self.quant, out_channels=h.shape[-1] // z, z=z,
                            dropout=conf.dropout,
                            use_zero_module=conf.use_zero_module,
                            compute_dtype=dt, name="mid_res1")(
@@ -355,7 +393,7 @@ class PackedTeraUNet(nn.Module):
             mult = conf.channel_mult[lvl]
             for j in range(nrb + 1):
                 sk_ch = skips_ch[lvl].pop()
-                dec_res.append(PackedResBlock(from_5d=self.from_5d, 
+                dec_res.append(PackedResBlock(from_5d=self.from_5d, quant=self.quant, 
                     out_channels=mult * conf.model_channels, z=z,
                     in_segments=(dch, sk_ch, rna_och[i]),
                     dropout=conf.dropout, compute_dtype=dt,
@@ -368,7 +406,7 @@ class PackedTeraUNet(nn.Module):
                     name=f"dec_{k}_attn")
                     if res in conf.attention_resolutions else None)
                 if lvl > 0 and j == nrb:
-                    dec_up.append(PackedResBlock(from_5d=self.from_5d, 
+                    dec_up.append(PackedResBlock(from_5d=self.from_5d, quant=self.quant, 
                         out_channels=mult * conf.model_channels, z=z,
                         up=True, dropout=conf.dropout, compute_dtype=dt,
                         use_zero_module=conf.use_zero_module,
