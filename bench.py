@@ -72,10 +72,18 @@ def main():
             conf.make_model_conf())
         params = jax.tree.map(lambda p: jnp.asarray(p, jnp.bfloat16),
                               params)
-        # BENCH_QUANT=int8: dynamic-int8 resblock convs on the MXU
-        # (2x bf16 peak; ops/quant.py, quality bound in tests/test_quant)
+        # BENCH_QUANT=int8: int8 resblock convs on the MXU (2x bf16 peak;
+        # ops/quant.py, quality bound in tests/test_quant), weights
+        # pre-quantized once.  int8_static additionally calibrates static
+        # activation scales (one instrumented chain) so the quantize
+        # fuses into producers — no dynamic abs-max pass.
+        q = os.environ.get("BENCH_QUANT") or None
+        if q:
+            from tera_mind_tpu.ops.quant import prequantize_params
+            params = prequantize_params(params)
         model = PackedTeraUNet(conf.make_model_conf(),
-                               quant=os.environ.get("BENCH_QUANT") or None)
+                               quant="int8" if q else None,
+                               prequant=bool(q))
 
     def model_fn(p, xp, tm, rp, p1, p2):
         # inference uses only the collage decode (base.py:387); params flow
@@ -97,6 +105,20 @@ def main():
         # is comparable (bf16 8 vs fp16 11 mantissa bits) — kept opt-in
         dev_state = dev_state.astype(jnp.bfloat16)
     dev_gene = jnp.asarray(gene)
+
+    if os.environ.get("BENCH_QUANT") == "int8_static":
+        # calibration: run the dynamic-int8 chain once while an
+        # instrumented window fn returns every QuantConv's activation
+        # abs-max as jit outputs (callback-free — the axon PJRT plugin
+        # rejects io_callback), then bake static scales
+        from tera_mind_tpu.models.unet_packed import PackedTeraUNet
+        from tera_mind_tpu.ops.quant import calibrate_generator
+        params = calibrate_generator(
+            gen, model, params, gene, steps=steps,
+            margin=float(os.environ.get("BENCH_CALIB_MARGIN", "1.0")))
+        model = PackedTeraUNet(conf.make_model_conf(), quant="int8",
+                               prequant=True, static_act=True)
+        gen = TeraGenerator(sampler, model_fn, gconf, params=params)
 
     # block-major (default): one patch grid over the whole block — ~19%
     # fewer patches at 2x2 tiles (36% at scale), identical results

@@ -29,7 +29,8 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 
-def build(tiles: int, chunk: int, block_major: bool, packed: bool = False):
+def build(tiles: int, chunk: int, block_major: bool, packed: bool = False,
+          quant=None):
     from tera_mind_tpu.config import prep_config
     from tera_mind_tpu.diffusion.sampler import DiffusionSampler, SamplerConfig
     from tera_mind_tpu.parallel.generator import GeneratorConfig, TeraGenerator
@@ -53,8 +54,19 @@ def build(tiles: int, chunk: int, block_major: bool, packed: bool = False):
         params = pack_unet_params(
             jax.tree.map(lambda p: np.asarray(p, np.float32), params),
             conf.make_model_conf())
-        model = PackedTeraUNet(conf.make_model_conf())
-    params = jax.tree.map(lambda p: jnp.asarray(p, jnp.bfloat16), params)
+        if quant == "int8":
+            from tera_mind_tpu.ops.quant import prequantize_params
+            params = prequantize_params(
+                jax.tree.map(lambda p: jnp.asarray(p, jnp.bfloat16),
+                             params))
+        model = PackedTeraUNet(conf.make_model_conf(), quant=quant,
+                               prequant=quant == "int8")
+    # floats -> bf16; keep pre-quantized int8 kernels / f32 scales
+    params = jax.tree_util.tree_map_with_path(
+        lambda kp, p: jnp.asarray(p) if getattr(kp[-1], "key", None)
+        == "w_scale" or not jnp.issubdtype(jnp.asarray(p).dtype,
+                                           jnp.floating)
+        else jnp.asarray(p, jnp.bfloat16), params)
 
     def model_fn(p, xp, tm, rp, p1, p2):
         return model.apply(p, xp, tm, rp, p1, p2, decode_original=False)
@@ -114,12 +126,14 @@ def main():
     ap.add_argument("--chunk", type=int, default=1)
     ap.add_argument("--tile_major", action="store_true")
     ap.add_argument("--packed", action="store_true")
+    ap.add_argument("--quant", default=None, choices=(None, "int8"))
     ap.add_argument("--logdir", default="/tmp/tmt_profile")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
 
     step, state, gene = build(args.tiles, args.chunk,
-                              not args.tile_major, packed=args.packed)
+                              not args.tile_major, packed=args.packed,
+                              quant=args.quant)
     # warmup/compile
     out = step(state, gene, jnp.int32(14))
     jax.block_until_ready(out)

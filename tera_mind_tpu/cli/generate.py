@@ -111,10 +111,14 @@ def main():
                     "layout); default is block-major — one patch grid over "
                     "the local block, ~36%% fewer patches at scale, "
                     "identical results (tests/test_generator.py)")
-    ap.add_argument("--quant", default="", choices=("", "int8"),
+    ap.add_argument("--quant", default="",
+                    choices=("", "int8", "int8_static"),
                     help="int8: dynamic-quant resblock convs on the MXU "
                     "(2x bf16 peak; ops/quant.py — quality bound in "
-                    "tests/test_quant.py; requires the packed model)")
+                    "tests/test_quant.py; requires the packed model). "
+                    "int8_static additionally calibrates static "
+                    "activation scales on the grid's first block — "
+                    "fastest, quality gated by the same tests")
     ap.add_argument("--no_packed", action="store_true",
                     help="run the 5D-layout TeraUNet instead of the "
                     "z-packed exact reparameterization (models/"
@@ -179,11 +183,26 @@ def main():
         params = pack_unet_params(
             jax.tree.map(lambda p: np.asarray(p, np.float32), params),
             conf.make_model_conf())
+        if args.quant:
+            # pre-quantize weights once (skips per-window re-quant);
+            # int8_static starts dynamic and swaps to static scales
+            # after the calibration phase below
+            from ..ops.quant import prequantize_params
+            params = prequantize_params(params)
         model = PackedTeraUNet(conf.make_model_conf(),
-                               quant=args.quant or None)
+                               quant="int8" if args.quant else None,
+                               prequant=bool(args.quant))
 
-    params = jax.tree.map(
-        lambda p: jnp.asarray(p, jnp.bfloat16), params)
+    def _to_device(path, p):
+        # floats -> bf16, but keep pre-quantized int8 kernels and their
+        # f32 scales exactly as prequantize_params produced them
+        name = getattr(path[-1], "key", None)
+        p = jnp.asarray(p)
+        if name == "w_scale" or not jnp.issubdtype(p.dtype, jnp.floating):
+            return p
+        return p.astype(jnp.bfloat16)
+
+    params = jax.tree_util.tree_map_with_path(_to_device, params)
 
     def model_fn(p, xp, tm, rp, p1, p2):
         # inference uses only the collage decode (base.py:387); params are
@@ -229,6 +248,26 @@ def main():
                   f"{h0-128}_{h0+384}_{w0-128}_{w0+384}.npz")
             return load_gene_tile(gdir / nm, gblk=16, gdim=500,
                                   spad=gconf.spad)
+
+    if args.quant == "int8_static":
+        # calibrate static activation scales: one dynamic-int8 chain over
+        # the grid's first block with an instrumented window fn
+        # (callback-free, ops/quant.py), then swap in the static model
+        from ..models.unet_packed import PackedTeraUNet
+        from ..ops.quant import calibrate_generator
+        crows, ccols = min(2, rows), min(2, cols)
+        cgene = np.stack([np.stack([gene(r, c) for c in range(ccols)])
+                          for r in range(crows)])
+        cgen = TeraGenerator(sampler, model_fn, gconf, params=params)
+        params = calibrate_generator(cgen, model, params, cgene,
+                                     steps=args.tot_epoch,
+                                     row0=row0, col0=col0)
+        model = PackedTeraUNet(conf.make_model_conf(), quant="int8",
+                               prequant=True, static_act=True)
+        gen = TeraGenerator(sampler, model_fn, gconf, params=params,
+                            mesh=mesh)
+        print(f"calibrated int8 static activation scales on a "
+              f"{crows}x{ccols} block", flush=True)
 
     # 'grid' spills: one file per timestep (fast resume format);
     # per-process spill base in multi-process runs (each process owns a

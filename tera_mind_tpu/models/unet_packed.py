@@ -120,13 +120,15 @@ def _down2(x):
 
 
 def conv2p(features, kernel=(3, 3), *, zero_init=False, dtype=None,
-           quant=None, name=None):
+           quant=None, prequant=False, static_act=False, name=None):
     pad = [((k - 1) // 2,) * 2 for k in kernel]
     init = nn.initializers.zeros if zero_init \
         else nn.initializers.lecun_normal()
     if quant == "int8":
         return QuantConv2p(features=features, kernel_size=tuple(kernel),
-                           kernel_init=init, dtype=dtype, name=name)
+                           kernel_init=init, dtype=dtype,
+                           prequant=prequant, static_act=static_act,
+                           name=name)
     return nn.Conv(features, kernel_size=tuple(kernel), padding=pad,
                    use_bias=True, kernel_init=init, dtype=dtype, name=name)
 
@@ -142,17 +144,44 @@ class QuantConv2p(nn.Module):
     kernel_init: nn.initializers.Initializer = \
         nn.initializers.lecun_normal()
     dtype: Optional[jnp.dtype] = None
+    prequant: bool = False   # params hold kernel_q/w_scale instead of
+                             # kernel (ops.quant.prequantize_params) —
+                             # skips per-call weight quantization
+    static_act: bool = False  # params hold a calibrated per-tensor
+                              # a_scale (ops.quant.bake_act_scales) — the
+                              # activation quantize fuses into its
+                              # producer instead of a dynamic abs-max
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from ..ops.quant import quant_conv2d
         kh, kw = self.kernel_size
-        w = self.param("kernel", self.kernel_init,
-                       (kh, kw, x.shape[-1], self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         pad = [((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2]
+        a = None
+        if self.static_act:
+            a = self.param("a_scale",
+                           lambda k, s: jnp.ones(s, jnp.float32), ())
+        elif not self.is_initializing():
+            # observed activation abs-max, for calibration runs (no-op
+            # unless apply(..., mutable=['calib']); gated out of init so
+            # init trees stay identical to the exact model's)
+            self.sow("calib", "a_max",
+                     jnp.max(jnp.abs(x)).astype(jnp.float32))
+        if self.prequant:
+            wq = self.param("kernel_q",
+                            lambda k, s: jnp.zeros(s, jnp.int8),
+                            (kh, kw, x.shape[-1], self.features))
+            sw = self.param("w_scale",
+                            lambda k, s: jnp.ones(s, jnp.float32),
+                            (self.features,))
+            return quant_conv2d(x, None, b, pad,
+                                out_dtype=self.dtype or x.dtype,
+                                w_q=wq, w_scale=sw, a_scale=a)
+        w = self.param("kernel", self.kernel_init,
+                       (kh, kw, x.shape[-1], self.features))
         return quant_conv2d(x, w, b, pad,
-                            out_dtype=self.dtype or x.dtype)
+                            out_dtype=self.dtype or x.dtype, a_scale=a)
 
 
 class Conv3DAsPacked(nn.Module):
@@ -214,6 +243,8 @@ class PackedResBlock(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     from_5d: bool = False      # params in TeraUNet's (3D/5D) shapes
     quant: Optional[str] = None  # 'int8' on the resblock convs
+    prequant: bool = False     # int8 kernels pre-quantized in the params
+    static_act: bool = False   # calibrated activation scales in params
 
     def _conv(self, features, kernel3, *, zero_init=False, segments=None,
               name=None):
@@ -223,7 +254,8 @@ class PackedResBlock(nn.Module):
                                   zero_init=zero_init, quant=self.quant,
                                   dtype=self.compute_dtype, name=name)
         return conv2p(self.z * features, kernel3[1:], zero_init=zero_init,
-                      quant=self.quant,
+                      quant=self.quant, prequant=self.prequant,
+                      static_act=self.static_act,
                       dtype=self.compute_dtype, name=name)
 
     @nn.compact
@@ -287,6 +319,12 @@ class PackedTeraUNet(nn.Module):
     quant: Optional[str] = None   # 'int8': dynamic-quant resblock convs
                                   # (stem/out_conv stay high-precision —
                                   # they touch raw pixels); inference-only
+    prequant: bool = False        # with quant: params carry int8 kernels
+                                  # (ops.quant.prequantize_params) so the
+                                  # z-window loop skips weight re-quant
+    static_act: bool = False      # with quant: params carry calibrated
+                                  # activation scales (bake_act_scales) —
+                                  # no dynamic abs-max pass
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, rna: jnp.ndarray,
@@ -335,7 +373,7 @@ class PackedTeraUNet(nn.Module):
         k = 1
         for lvl, mult in enumerate(conf.channel_mult):
             if lvl > 0:
-                h = PackedResBlock(from_5d=self.from_5d, quant=self.quant, out_channels=h.shape[-1] // z, z=z,
+                h = PackedResBlock(from_5d=self.from_5d, quant=self.quant, prequant=self.prequant, static_act=self.static_act, out_channels=h.shape[-1] // z, z=z,
                                    down=True, dropout=conf.dropout,
                                    use_zero_module=conf.use_zero_module,
                                    compute_dtype=dt, name=f"enc_{k}_res")(
@@ -349,7 +387,7 @@ class PackedTeraUNet(nn.Module):
             for _ in range(nrb):
                 segs = (h.shape[-1] // z, rfeat.shape[-1] // z)
                 h = jnp.concatenate([h, rfeat], axis=-1)
-                h = PackedResBlock(from_5d=self.from_5d, quant=self.quant, out_channels=mult * conf.model_channels,
+                h = PackedResBlock(from_5d=self.from_5d, quant=self.quant, prequant=self.prequant, static_act=self.static_act, out_channels=mult * conf.model_channels,
                                    z=z, in_segments=segs,
                                    dropout=conf.dropout,
                                    compute_dtype=dt,
@@ -367,7 +405,7 @@ class PackedTeraUNet(nn.Module):
 
         segs = (h.shape[-1] // z, rna_feats[0].shape[-1] // z)
         h = jnp.concatenate([h, rna_feats[0]], axis=-1)
-        h = PackedResBlock(from_5d=self.from_5d, quant=self.quant, out_channels=h.shape[-1] // z - rna_och[0], z=z,
+        h = PackedResBlock(from_5d=self.from_5d, quant=self.quant, prequant=self.prequant, static_act=self.static_act, out_channels=h.shape[-1] // z - rna_och[0], z=z,
                            in_segments=segs,
                            dropout=conf.dropout, compute_dtype=dt,
                            use_zero_module=conf.use_zero_module,
@@ -377,7 +415,7 @@ class PackedTeraUNet(nn.Module):
                        num_heads=conf.num_heads, n_win=2, dtype=dt,
                        name="mid_attn")
         h = attn(blk, h, rna_feats5[0])
-        h = PackedResBlock(from_5d=self.from_5d, quant=self.quant, out_channels=h.shape[-1] // z, z=z,
+        h = PackedResBlock(from_5d=self.from_5d, quant=self.quant, prequant=self.prequant, static_act=self.static_act, out_channels=h.shape[-1] // z, z=z,
                            dropout=conf.dropout,
                            use_zero_module=conf.use_zero_module,
                            compute_dtype=dt, name="mid_res1")(
@@ -393,7 +431,7 @@ class PackedTeraUNet(nn.Module):
             mult = conf.channel_mult[lvl]
             for j in range(nrb + 1):
                 sk_ch = skips_ch[lvl].pop()
-                dec_res.append(PackedResBlock(from_5d=self.from_5d, quant=self.quant, 
+                dec_res.append(PackedResBlock(from_5d=self.from_5d, quant=self.quant, prequant=self.prequant, static_act=self.static_act, 
                     out_channels=mult * conf.model_channels, z=z,
                     in_segments=(dch, sk_ch, rna_och[i]),
                     dropout=conf.dropout, compute_dtype=dt,
@@ -406,7 +444,7 @@ class PackedTeraUNet(nn.Module):
                     name=f"dec_{k}_attn")
                     if res in conf.attention_resolutions else None)
                 if lvl > 0 and j == nrb:
-                    dec_up.append(PackedResBlock(from_5d=self.from_5d, quant=self.quant, 
+                    dec_up.append(PackedResBlock(from_5d=self.from_5d, quant=self.quant, prequant=self.prequant, static_act=self.static_act, 
                         out_channels=mult * conf.model_channels, z=z,
                         up=True, dropout=conf.dropout, compute_dtype=dt,
                         use_zero_module=conf.use_zero_module,

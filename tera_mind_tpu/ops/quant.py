@@ -28,6 +28,7 @@ packed model.
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -53,18 +54,42 @@ def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q.astype(jnp.int8), s
 
 
-def quant_conv2d(x: jnp.ndarray, w: jnp.ndarray,
+def quant_conv2d(x: jnp.ndarray, w: Optional[jnp.ndarray],
                  bias: Optional[jnp.ndarray],
                  padding: Sequence[Tuple[int, int]],
-                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
+                 out_dtype=jnp.bfloat16,
+                 w_q: Optional[jnp.ndarray] = None,
+                 w_scale: Optional[jnp.ndarray] = None,
+                 a_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """int8 NHWC conv with dynamic activation + per-channel weight quant.
 
     ``x`` (N,H,W,Ci) any float dtype; ``w`` (kh,kw,Ci,Co); ``bias`` is
     added AFTER dequantization (full precision, possibly pre-tiled by the
     caller).  Returns (N,H,W,Co) in ``out_dtype``.
+
+    Pass pre-quantized weights via ``w_q``/``w_scale`` (see
+    :func:`prequantize_params`) to skip the per-call weight quantization —
+    inside the generator's z-window loop the dynamic path re-quantizes
+    every kernel once per window (25x per step), which profiling showed
+    costs ~15% of the int8 step.
+
+    Pass a CALIBRATED per-tensor ``a_scale`` (see
+    :func:`make_calibrating_model_fn` / :func:`bake_act_scales`) to skip
+    the dynamic abs-max too: the scale+round+cast then fuses into the
+    activation's producer (norm/SiLU) instead of re-reading the whole
+    tensor — activation quantization becomes bandwidth-free.  Values
+    beyond the calibrated range saturate at +-127.
     """
-    xq, sx = quantize_tensor(x)
-    wq, sw = quantize_weight(w)
+    if a_scale is not None:
+        sx = a_scale.astype(jnp.float32)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+    else:
+        xq, sx = quantize_tensor(x)
+    if w_q is not None:
+        wq, sw = w_q, w_scale
+    else:
+        wq, sw = quantize_weight(w)
     y = lax.conv_general_dilated(
         xq, wq, (1, 1), list(padding),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -73,3 +98,216 @@ def quant_conv2d(x: jnp.ndarray, w: jnp.ndarray,
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(out_dtype)
+
+
+_RESBLOCK = re.compile(
+    r"^(enc_\d+_res|dec_\d+_res|dec_\d+_up|mid_res[01])$")
+_QCONVS = ("in_conv", "out_conv", "skip_conv")
+
+
+def prequantize_params(params):
+    """Pre-quantize a PACKED param tree (from_5d=False layout) for
+    ``PackedTeraUNet(conf, quant='int8', prequant=True)``.
+
+    For every resblock conv (``{enc,dec,mid}*_{res,up}/{in,out,skip}_conv``
+    — exactly the set the quant flag routes through QuantConv2p) the float
+    ``kernel`` is replaced by ``kernel_q`` (int8) + ``w_scale`` (f32 per
+    output channel), computed with the same :func:`quantize_weight` the
+    dynamic path uses, so outputs are bit-identical to dynamic weight
+    quantization.  Bias and every non-resblock param pass through
+    untouched.  The UNet-level ``stem``/``out_conv`` (root) are NOT
+    quantized — their parent is the root, not a resblock.
+    """
+    col = params["params"] if "params" in params else params
+
+    def walk(tree, parent):
+        out = {}
+        for name, sub in tree.items():
+            if (isinstance(sub, dict) and name in _QCONVS
+                    and _RESBLOCK.match(parent or "")
+                    and "kernel" in sub and sub["kernel"].ndim == 4):
+                wq, sw = quantize_weight(jnp.asarray(sub["kernel"],
+                                                     jnp.float32))
+                new = {k: v for k, v in sub.items() if k != "kernel"}
+                new["kernel_q"], new["w_scale"] = wq, sw
+                out[name] = new
+            elif isinstance(sub, dict):
+                out[name] = walk(sub, name)
+            else:
+                out[name] = sub
+        return out
+
+    new_col = walk(col, None)
+    if "params" in params:
+        return {**params, "params": new_col}
+    return new_col
+
+
+def _path_names(path) -> Tuple:
+    """jax key-path -> tuple of dict-key strings (drops sequence idxs)."""
+    return tuple(e.key for e in path if hasattr(e, "key"))
+
+
+def make_calibrating_model_fn(model, accum: dict):
+    """Wrap a dynamic-quant ``PackedTeraUNet(quant='int8')`` into a
+    TeraGenerator-compatible ``model_fn(params, x, t, rna, p1, p2)`` that
+    streams every QuantConv's observed activation abs-max to the host
+    (``jax.experimental.io_callback`` — works inside the generator's
+    ``lax.scan``/``jit`` loops) and max-accumulates it into ``accum``
+    (module-path tuple -> float).  Run any representative generation
+    chain with it, then :func:`bake_act_scales`.
+
+    NOTE: requires a backend with host-callback support (CPU, stock
+    libtpu).  The axon PJRT plugin rejects io_callback — use
+    :func:`calibrate_generator` there (callback-free, amaxes returned as
+    jit outputs).
+    """
+    import numpy as np
+    import jax
+    from jax.experimental import io_callback
+
+    keys_box: list = []
+
+    def host_accum(vals):
+        for k, v in zip(keys_box[0], np.asarray(vals)):
+            accum[k] = max(accum.get(k, 0.0), float(v))
+
+    def model_fn(p, xp, tm, rp, p1, p2):
+        out, cal = model.apply(p, xp, tm, rp, p1, p2,
+                               decode_original=False, mutable=["calib"])
+        flat = jax.tree_util.tree_leaves_with_path(cal)
+        if not keys_box:
+            keys_box.append([_path_names(k) for k, _ in flat])
+        io_callback(host_accum, None,
+                    jnp.stack([v.astype(jnp.float32) for _, v in flat]),
+                    ordered=False)
+        return out
+
+    return model_fn
+
+
+def bake_act_scales(params, accum: dict, margin: float = 1.0):
+    """Insert calibrated ``a_scale`` params (amax/127 * margin) into a
+    (pre-quantized) param tree, for ``PackedTeraUNet(...,
+    static_act=True)``.  ``accum`` is the dict filled by
+    :func:`make_calibrating_model_fn`: keys are module-path tuples ending
+    in ('calib', ..., 'a_max')."""
+    col = dict(params["params"]) if "params" in params else dict(params)
+
+    import numpy as np
+
+    def scale_of(val):
+        # f32 arithmetic in the dynamic path's exact order
+        # (quantize_tensor: max(amax/127, eps)), so a static scale
+        # calibrated on an input reproduces the dynamic result bit-exactly
+        s = np.float32(val) / np.float32(127.0)
+        s = np.maximum(s, np.float32(_EPS))
+        if margin != 1.0:
+            s = s * np.float32(margin)
+        return jnp.asarray(s, jnp.float32)
+
+    def insert(tree, path, val):
+        tree = dict(tree)
+        if len(path) == 1:
+            tree["a_scale"] = scale_of(val)
+        else:
+            tree[path[0]] = insert(tree[path[0]], path[1:], val)
+        return tree
+
+    for key, amax in accum.items():
+        assert key[0] == "calib" and key[-1] == "a_max", key
+        col = insert(col, key[1:], amax)
+
+    if "params" in params:
+        return {**params, "params": col}
+    return col
+
+
+def calibrate_generator(gen, model, params, gene_grid, *, steps,
+                        state=None, row0: int = 1, col0: int = 1,
+                        grid_w: int = 416, margin: float = 1.0):
+    """Callback-free activation calibration for ``static_act`` int8.
+
+    The axon PJRT plugin (the tunneled-TPU environment) does not support
+    host callbacks, so instead of :func:`make_calibrating_model_fn` this
+    runs the dynamic-int8 chain with the generator's NORMAL compiled step
+    and, at every timestep, additionally evaluates an instrumented
+    window-group function whose flax ``mutable=['calib']`` amaxes are
+    captured at trace time (no ``lax`` loop around the model call) and
+    returned as ordinary jit outputs.  Costs ~2x one chain — calibration
+    is a one-time, small-grid affair.
+
+    ``gen`` must be a single-process :class:`TeraGenerator` built with
+    the DYNAMIC quant model (``quant='int8'``) and ``params``;
+    ``model`` is that same dynamic model (used for the instrumented
+    apply).  Returns ``params`` with baked ``a_scale`` entries
+    (:func:`bake_act_scales`).
+    """
+    import jax
+    import numpy as np
+
+    from ..ops.collage import patchify
+    from ..parallel.generator import assemble_bins
+    from ..parallel.halo import pad_halo_single
+
+    c = gen.conf
+    rows, cols = gene_grid.shape[:2]
+    if state is None:
+        state = gen.init_state(rows, cols, row0=row0, col0=col0,
+                               grid_w=grid_w)
+    dev_state = jnp.asarray(state)
+    dev_gene = jnp.asarray(np.asarray(gene_grid))
+    step = gen.compile_step(rows, cols, block_major=True)
+
+    chunk = c.window_chunk or c.n_win
+    gn_per_patch = c.patch // c.gn_blk
+    nb, hb = c.tile // c.gn_blk, c.pad // c.gn_blk
+
+    @jax.jit
+    def instrumented(p, xw, rp, t_b):
+        box = []
+
+        def mf(*a):
+            out, cal = model.apply(p, *a, decode_original=False,
+                                   mutable=["calib"])
+            box.append(cal)
+            return out
+
+        gen.sampler.denoise_step(mf, xw, rp, t_b)
+        amax = {}
+        for cal in box:
+            for k, v in jax.tree_util.tree_leaves_with_path(cal):
+                key = _path_names(k)
+                amax[key] = jnp.maximum(amax[key], v) if key in amax \
+                    else jnp.asarray(v, jnp.float32)
+        return amax
+
+    @jax.jit
+    def prep(st, gene):
+        padded = pad_halo_single(st, c.pad, fill=-1.0)
+        hp, wp = padded.shape[:2]
+        x = padded.reshape(hp, wp, c.stains, c.n_win, c.zi)
+        x = x.transpose(3, 0, 1, 2, 4).reshape(c.n_win, hp, wp,
+                                               c.stains * c.zi)
+        g = assemble_bins(gene, nb, hb)
+        return x, g
+
+    accum: dict = {}
+    t_b = None
+    for t in range(steps - 1, -1, -1):
+        x, g = prep(dev_state, dev_gene)
+        for w0 in range(0, c.n_win, chunk):
+            rw = jnp.stack([g[:, :, (w0 + j) * c.zi:
+                              (w0 + j) * c.zi + c.snum, :]
+                            for j in range(chunk)]).astype(jnp.float32)
+            rw = rw.reshape(chunk, g.shape[0], g.shape[1],
+                            c.snum * g.shape[-1])
+            rp = patchify(rw, gn_per_patch)
+            t_b = jnp.full((chunk,), t, jnp.int32)
+            amax = jax.device_get(instrumented(
+                gen.params, x[w0:w0 + chunk], rp, t_b))
+            for k, v in amax.items():
+                accum[k] = max(accum.get(k, 0.0), float(v))
+        dev_state = step(dev_state, dev_gene, jnp.int32(t))
+    jax.block_until_ready(dev_state)
+    return bake_act_scales(params, accum, margin=margin)

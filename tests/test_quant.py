@@ -174,3 +174,270 @@ def test_quant_generation_chain_quality():
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
     assert abs(a.mean() - b.mean()) < 0.01
     assert abs(a.std() - b.std()) / a.std() < 0.02
+
+
+def test_prequant_bitexact_vs_dynamic():
+    """prequant=True (int8 kernels baked into the param tree) must equal
+    the dynamic path BIT-EXACTLY: prequantize_params uses the same
+    quantize_weight the dynamic path calls at apply time, and activation
+    quantization is unchanged — hoisting weight quantization out of the
+    z-window loop is a pure scheduling change (~15% of the int8 step)."""
+    from tera_mind_tpu.models.unet_packed import (PackedTeraUNet,
+                                                  pack_unet_params)
+    from tera_mind_tpu.ops.quant import prequantize_params
+
+    conf = _tiny_conf()
+    kx, kr, kp = jax.random.split(jax.random.PRNGKey(13), 3)
+    x = jax.random.normal(kx, (4, 32, 32, 4), jnp.float32)
+    rna = (jax.random.uniform(kr, (4, 2, 2, 64)) < 0.2
+           ).astype(jnp.float32) * 2
+    t = jnp.array([42], jnp.int32)
+
+    model5 = conf.make_model()
+    params5 = jax.jit(lambda k: model5.init(k, x, t, rna, 2, 2))(kp)
+    paramsP = pack_unet_params(
+        jax.tree.map(lambda p: np.asarray(p, np.float32), params5), conf)
+    paramsQ = prequantize_params(paramsP)
+
+    # the transform replaced kernels exactly in the resblock convs
+    flatP = jax.tree_util.tree_leaves_with_path(paramsP)
+    flatQ = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(paramsQ)}
+    n_q = sum(1 for k in flatQ if "kernel_q" in k)
+    assert n_q > 0 and len(flatQ) == len(flatP) + n_q  # +w_scale per conv
+    assert all(v.dtype == jnp.int8 for k, v in flatQ.items()
+               if "kernel_q" in k)
+
+    dyn = PackedTeraUNet(conf, quant="int8")
+    pre = PackedTeraUNet(conf, quant="int8", prequant=True)
+    cd, od = jax.jit(lambda p: dyn.apply(p, x, t, rna, 2, 2))(paramsP)
+    cp, op = jax.jit(lambda p: pre.apply(p, x, t, rna, 2, 2))(paramsQ)
+    # bit-exact on TPU (verified); XLA:CPU compiles the two programs with
+    # different fusion/FMA choices -> 1-2 ulp drift in the dequant chain
+    atol = 0 if jax.default_backend() in ("tpu", "axon") else 1e-6
+    np.testing.assert_allclose(np.asarray(cd), np.asarray(cp), atol=atol)
+    np.testing.assert_allclose(np.asarray(od), np.asarray(op), atol=atol)
+
+
+def test_static_act_conv_bitexact_and_model_close():
+    """(a) A single QuantConv2p with a_scale calibrated on its own input
+    reproduces the dynamic path bit-exactly (the baked scale IS the
+    dynamic scale, in identical f32 arithmetic).  (b) At the model level
+    bit-exactness is impossible by design — decoder modules run twice
+    (collage + original pass) sharing one static scale where the dynamic
+    path used two — so the full static model is gated with the same
+    statistical bounds as the dynamic one."""
+    from tera_mind_tpu.models.unet_packed import (PackedTeraUNet,
+                                                  QuantConv2p,
+                                                  pack_unet_params)
+    from tera_mind_tpu.ops.quant import (bake_act_scales,
+                                         prequantize_params, _path_names)
+
+    # (a) single conv: calibrate-on-input => bit-exact vs dynamic
+    kx, kp = jax.random.split(jax.random.PRNGKey(17))
+    xc = jax.random.normal(kx, (2, 16, 16, 8), jnp.float32)
+    dynconv = QuantConv2p(features=12)
+    pc = dynconv.init(kp, xc)
+    (yd, cal) = dynconv.apply(pc, xc, mutable=["calib"])
+    amax = float(np.asarray(cal["calib"]["a_max"][0]))
+    pcs = dict(pc)
+    from tera_mind_tpu.ops.quant import quantize_weight
+    wq, sw = quantize_weight(pc["params"]["kernel"])
+    pcs["params"] = {"bias": pc["params"]["bias"],
+                     "kernel_q": wq, "w_scale": sw}
+    pcs["params"]["a_scale"] = np.maximum(
+        np.float32(amax) / np.float32(127.0), np.float32(1e-8))
+    staconv = QuantConv2p(features=12, prequant=True, static_act=True)
+    ys = staconv.apply({"params": pcs["params"]}, xc)
+    np.testing.assert_array_equal(np.asarray(yd), np.asarray(ys))
+
+    # (b) full model: statistical gate vs the EXACT model
+    conf = _tiny_conf()
+    kx, kr, kp = jax.random.split(jax.random.PRNGKey(19), 3)
+    x = jax.random.normal(kx, (4, 32, 32, 4), jnp.float32)
+    rna = (jax.random.uniform(kr, (4, 2, 2, 64)) < 0.2
+           ).astype(jnp.float32) * 2
+    t = jnp.array([7], jnp.int32)
+    model5 = conf.make_model()
+    params5 = jax.jit(lambda k: model5.init(k, x, t, rna, 2, 2))(kp)
+    paramsP = pack_unet_params(
+        jax.tree.map(lambda p: np.asarray(p, np.float32), params5), conf)
+    paramsQ = prequantize_params(paramsP)
+
+    dyn = PackedTeraUNet(conf, quant="int8", prequant=True)
+    (cd, od), cal = jax.jit(
+        lambda p: dyn.apply(p, x, t, rna, 2, 2, mutable=["calib"])
+    )(paramsQ)
+    # sown tuples carry one entry per module invocation (decoder modules
+    # have 2) — max-reduce duplicates like make_calibrating_model_fn does
+    accum = {}
+    for k, v in jax.tree_util.tree_leaves_with_path(cal):
+        key = _path_names(k)
+        accum[key] = max(accum.get(key, 0.0), float(np.max(np.asarray(v))))
+    paramsS = bake_act_scales(paramsQ, accum)
+
+    sta = PackedTeraUNet(conf, quant="int8", prequant=True,
+                         static_act=True)
+    cs, os_ = jax.jit(lambda p: sta.apply(p, x, t, rna, 2, 2))(paramsS)
+    exact = PackedTeraUNet(conf)
+    ce, oe = jax.jit(lambda p: exact.apply(p, x, t, rna, 2, 2))(paramsP)
+    for a, b in ((ce, cs), (oe, os_)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        scale = np.abs(a).max() + 1e-6
+        assert np.max(np.abs(a - b)) / scale < 0.15, \
+            np.max(np.abs(a - b)) / scale
+        assert np.mean(np.abs(a - b)) / scale < 0.02, \
+            np.mean(np.abs(a - b)) / scale
+
+
+def test_static_act_chain_quality_and_calibration_fn():
+    """End-to-end: calibrate through a TeraGenerator chain with
+    make_calibrating_model_fn (io_callback inside lax.scan), bake, and
+    check the static-int8 chain stays statistically faithful to the
+    exact chain (same gates as the dynamic-int8 chain test)."""
+    from tera_mind_tpu.diffusion.sampler import (DiffusionSampler,
+                                                 SamplerConfig)
+    from tera_mind_tpu.diffusion.schedule import spaced_schedule
+    from tera_mind_tpu.models.unet_packed import (PackedTeraUNet,
+                                                  pack_unet_params)
+    from tera_mind_tpu.ops.quant import (bake_act_scales,
+                                         make_calibrating_model_fn,
+                                         prequantize_params)
+    from tera_mind_tpu.parallel.generator import (GeneratorConfig,
+                                                  TeraGenerator)
+
+    conf = _tiny_conf()
+    kx, kr, kp = jax.random.split(jax.random.PRNGKey(21), 3)
+    x = jax.random.normal(kx, (4, 32, 32, 4), jnp.float32)
+    rna = (jax.random.uniform(kr, (4, 2, 2, 64)) < 0.2
+           ).astype(jnp.float32) * 2
+    t = jnp.array([0], jnp.int32)
+    model5 = conf.make_model()
+    params5 = jax.jit(lambda k: model5.init(k, x, t, rna, 2, 2))(kp)
+    paramsP = pack_unet_params(
+        jax.tree.map(lambda p: np.asarray(p, np.float32), params5), conf)
+    paramsQ = prequantize_params(paramsP)
+
+    gconf = GeneratorConfig(tile=64, patch=32, gn_blk=16, snum=4,
+                            n_slices=6, stains=2, gdim=16,
+                            noise_backend="jax")
+    sched = spaced_schedule("linear", 1000, "ddim5")
+    sampler = DiffusionSampler(sched, SamplerConfig(patch_size=32,
+                                                    gn_sz=2))
+    rng = np.random.default_rng(4)
+    gene = (rng.random((2, 2, gconf.gsz, gconf.gsz, gconf.z_pad,
+                        gconf.gdim)) < 0.05).astype(np.uint8)
+
+    # exact reference chain
+    exact = PackedTeraUNet(conf)
+
+    def mf_exact(xp, tm, rp, p1, p2):
+        return exact.apply(paramsP, xp, tm, rp, p1, p2,
+                           decode_original=False)
+
+    a = TeraGenerator(sampler, mf_exact, gconf).run(gene, row0=1, col0=1,
+                                                    progress=False)
+
+    # calibration chain (dynamic int8, instrumented)
+    dyn = PackedTeraUNet(conf, quant="int8", prequant=True)
+    accum = {}
+    cgen = TeraGenerator(sampler, make_calibrating_model_fn(dyn, accum),
+                         gconf, params=paramsQ)
+    cgen.run(gene, row0=1, col0=1, progress=False)
+    assert accum and all(k[0] == "calib" and k[-1] == "a_max"
+                         for k in accum)
+    assert all(v > 0 for v in accum.values())
+
+    paramsS = bake_act_scales(paramsQ, accum)
+    sta = PackedTeraUNet(conf, quant="int8", prequant=True,
+                         static_act=True)
+
+    def mf_sta(p, xp, tm, rp, p1, p2):
+        return sta.apply(p, xp, tm, rp, p1, p2, decode_original=False)
+
+    b = TeraGenerator(sampler, mf_sta, gconf, params=paramsS).run(
+        gene, row0=1, col0=1, progress=False)
+
+    assert np.isfinite(b).all()
+    d = np.abs(a - b)
+    assert np.mean(d) < 0.03, np.mean(d)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
+    assert abs(a.mean() - b.mean()) < 0.01
+    assert abs(a.std() - b.std()) / a.std() < 0.02
+
+
+def test_calibrate_generator_callback_free():
+    """calibrate_generator (the axon-safe path: amaxes as jit outputs,
+    no host callbacks) produces baked scales whose static chain matches
+    the exact chain under the statistical gates."""
+    from tera_mind_tpu.diffusion.sampler import (DiffusionSampler,
+                                                 SamplerConfig)
+    from tera_mind_tpu.diffusion.schedule import spaced_schedule
+    from tera_mind_tpu.models.unet_packed import (PackedTeraUNet,
+                                                  pack_unet_params)
+    from tera_mind_tpu.ops.quant import (calibrate_generator,
+                                         prequantize_params)
+    from tera_mind_tpu.parallel.generator import (GeneratorConfig,
+                                                  TeraGenerator)
+
+    conf = _tiny_conf()
+    kx, kr, kp = jax.random.split(jax.random.PRNGKey(23), 3)
+    x = jax.random.normal(kx, (4, 32, 32, 4), jnp.float32)
+    rna = (jax.random.uniform(kr, (4, 2, 2, 64)) < 0.2
+           ).astype(jnp.float32) * 2
+    t = jnp.array([0], jnp.int32)
+    model5 = conf.make_model()
+    params5 = jax.jit(lambda k: model5.init(k, x, t, rna, 2, 2))(kp)
+    paramsP = pack_unet_params(
+        jax.tree.map(lambda p: np.asarray(p, np.float32), params5), conf)
+    paramsQ = prequantize_params(paramsP)
+
+    gconf = GeneratorConfig(tile=64, patch=32, gn_blk=16, snum=4,
+                            n_slices=6, stains=2, gdim=16,
+                            noise_backend="jax")
+    sched = spaced_schedule("linear", 1000, "ddim5")
+    sampler = DiffusionSampler(sched, SamplerConfig(patch_size=32,
+                                                    gn_sz=2))
+    rng = np.random.default_rng(6)
+    gene = (rng.random((2, 2, gconf.gsz, gconf.gsz, gconf.z_pad,
+                        gconf.gdim)) < 0.05).astype(np.uint8)
+
+    exact = PackedTeraUNet(conf)
+
+    def mf_exact(xp, tm, rp, p1, p2):
+        return exact.apply(paramsP, xp, tm, rp, p1, p2,
+                           decode_original=False)
+
+    a = TeraGenerator(sampler, mf_exact, gconf).run(gene, row0=1, col0=1,
+                                                    progress=False)
+
+    dyn = PackedTeraUNet(conf, quant="int8", prequant=True)
+
+    def mf_dyn(p, xp, tm, rp, p1, p2):
+        return dyn.apply(p, xp, tm, rp, p1, p2, decode_original=False)
+
+    cgen = TeraGenerator(sampler, mf_dyn, gconf, params=paramsQ)
+    paramsS = calibrate_generator(cgen, dyn, paramsQ, gene, steps=5)
+    # every resblock conv got a scale
+    n_scales = sum(1 for k, _ in jax.tree_util.tree_leaves_with_path(
+        paramsS) if getattr(k[-1], "key", None) == "a_scale")
+    n_kq = sum(1 for k, _ in jax.tree_util.tree_leaves_with_path(
+        paramsS) if getattr(k[-1], "key", None) == "kernel_q")
+    assert n_scales == n_kq > 0, (n_scales, n_kq)
+
+    sta = PackedTeraUNet(conf, quant="int8", prequant=True,
+                         static_act=True)
+
+    def mf_sta(p, xp, tm, rp, p1, p2):
+        return sta.apply(p, xp, tm, rp, p1, p2, decode_original=False)
+
+    b = TeraGenerator(sampler, mf_sta, gconf, params=paramsS).run(
+        gene, row0=1, col0=1, progress=False)
+
+    assert np.isfinite(b).all()
+    d = np.abs(a - b)
+    assert np.mean(d) < 0.03, np.mean(d)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
+    assert abs(a.mean() - b.mean()) < 0.01
+    assert abs(a.std() - b.std()) / a.std() < 0.02
