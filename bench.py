@@ -78,12 +78,16 @@ def main():
         # activation scales (one instrumented chain) so the quantize
         # fuses into producers — no dynamic abs-max pass.
         q = os.environ.get("BENCH_QUANT") or None
+        # BENCH_QUANT_ATTN=1: additionally int8 the DiT blocks' dense
+        # projections (adaLN/qkv/proj/MLP — the largest non-conv matmuls)
+        qa = q is not None and os.environ.get("BENCH_QUANT_ATTN",
+                                              "1") == "1"
         if q:
             from tera_mind_tpu.ops.quant import prequantize_params
-            params = prequantize_params(params)
+            params = prequantize_params(params, attn=qa)
         model = PackedTeraUNet(conf.make_model_conf(),
                                quant="int8" if q else None,
-                               prequant=bool(q))
+                               prequant=bool(q), quant_attn=qa)
 
     def model_fn(p, xp, tm, rp, p1, p2):
         # inference uses only the collage decode (base.py:387); params flow
@@ -117,7 +121,8 @@ def main():
             gen, model, params, gene, steps=steps,
             margin=float(os.environ.get("BENCH_CALIB_MARGIN", "1.0")))
         model = PackedTeraUNet(conf.make_model_conf(), quant="int8",
-                               prequant=True, static_act=True)
+                               prequant=True, static_act=True,
+                               quant_attn=qa)
         gen = TeraGenerator(sampler, model_fn, gconf, params=params)
 
     # block-major (default): one patch grid over the whole block — ~19%
@@ -146,13 +151,34 @@ def main():
     # short BENCH_STEPS runs (big-grid ladder points) report the same
     # metric as a full run
     tiles_per_sec = tiles / (dt * 15.0 / steps)
-    print(json.dumps({
+    rec = {
         "metric": "256x256x100ch tiles/sec/chip, full 15-step DDIM",
         "value": round(tiles_per_sec, 5),
         "unit": "tiles/s/chip",
         "vs_baseline": round(tiles_per_sec / REF_TILES_PER_SEC_PER_GPU, 2),
         "grid": f"{rows}x{cols}",
-    }))
+    }
+    if not os.environ.get("BENCH_QUANT") and \
+            os.environ.get("BENCH_REPORT_QUANT", "1") == "1":
+        # headline "value" stays the EXACT bf16 model (BASELINE.md); also
+        # measure the opt-in int8_static deployment mode (calibrated
+        # static scales, ops/quant.py) in a subprocess and report it as a
+        # separate, clearly-labeled field
+        import subprocess
+        import sys
+        env = dict(os.environ, BENCH_QUANT="int8_static")
+        try:
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=3600)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")]
+            q = json.loads(line[-1])
+            rec["int8_static"] = q["value"]
+            rec["int8_static_vs_baseline"] = q["vs_baseline"]
+        except Exception:
+            pass  # quant point is informational; never fail the bench
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -27,11 +27,14 @@ sys.path.insert(0, str(ROOT))
 STEPS = {2: 15, 4: 15, 8: 5, 16: 3}
 
 
-def run_inhbm(tiles: int, block_major: bool = True) -> None:
+def run_inhbm(tiles: int, block_major: bool = True,
+              quant: str = "") -> None:
     env = dict(os.environ)
     env.update({"BENCH_TILES": str(tiles),
                 "BENCH_STEPS": str(STEPS.get(tiles, 3)),
                 "BENCH_BLOCK_MAJOR": "1" if block_major else "0"})
+    if quant:
+        env["BENCH_QUANT"] = quant
     out = subprocess.run([sys.executable, str(ROOT / "bench.py")], env=env,
                          capture_output=True, text=True, cwd=ROOT)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -43,17 +46,20 @@ def run_inhbm(tiles: int, block_major: bool = True) -> None:
             print(json.dumps({"grid": f"{tiles}x{tiles}",
                               "mode": "in-hbm-block-major",
                               "error": "RESOURCE_EXHAUSTED"}), flush=True)
-            run_inhbm(tiles, block_major=False)
+            run_inhbm(tiles, block_major=False, quant=quant)
             return
         print(json.dumps({"grid": f"{tiles}x{tiles}", "error":
                           out.stderr[-300:]}), flush=True)
         return
     rec = json.loads(line[-1])
     rec["mode"] = "in-hbm" if block_major else "in-hbm-tile-major"
+    if quant:
+        rec["quant"] = quant
     print(json.dumps(rec), flush=True)
 
 
-def run_stream(tiles: int, steps: int = 3, block: int = 2) -> None:
+def run_stream(tiles: int, steps: int = 3, block: int = 2,
+               quant: str = "") -> None:
     """Whole-brain-shaped run: host-resident state, provider-fed genes,
     block-streamed through the chip (parallel/streaming.py)."""
     import jax
@@ -98,19 +104,37 @@ def run_stream(tiles: int, steps: int = 3, block: int = 2) -> None:
         jax.tree.map(lambda p: np.asarray(p, np.float32), params),
         conf.make_model_conf())
     params = jax.tree.map(lambda p: jnp.asarray(p, jnp.bfloat16), params)
-    model = PackedTeraUNet(conf.make_model_conf())
+    qa = bool(quant) and os.environ.get("BENCH_QUANT_ATTN", "1") == "1"
+    if quant:
+        from tera_mind_tpu.ops.quant import prequantize_params
+        params = prequantize_params(params, attn=qa)
+    model = PackedTeraUNet(conf.make_model_conf(),
+                           quant="int8" if quant else None,
+                           prequant=bool(quant), quant_attn=qa)
 
     def model_fn(p, xp, tm, rp, p1, p2):
         return model.apply(p, xp, tm, rp, p1, p2, decode_original=False)
 
     gen = TeraGenerator(sampler, model_fn, gconf, params=params)
 
-    grng = np.random.default_rng(0)
-
     def provider(r, c):
         rr = np.random.default_rng(100003 * r + c)
         return (rr.random((gconf.gsz, gconf.gsz, gconf.z_pad, gconf.gdim))
                 < 0.01).astype(np.uint8)
+
+    if quant == "int8_static":
+        # calibrate static activation scales on one block-sized grid (the
+        # same one-time dynamic-int8 chain the bench/CLI paths run), then
+        # swap in the static model — the streamed windows are block-sized,
+        # so the calibration grid matches the deployed window shape
+        from tera_mind_tpu.ops.quant import calibrate_generator
+        cgene = np.stack([np.stack([provider(r, c) for c in range(block)])
+                          for r in range(block)])
+        params = calibrate_generator(gen, model, params, cgene, steps=steps)
+        model = PackedTeraUNet(conf.make_model_conf(), quant="int8",
+                               prequant=True, static_act=True,
+                               quant_attn=qa)
+        gen = TeraGenerator(sampler, model_fn, gconf, params=params)
 
     tdt = os.environ.get("STREAM_TRANSFER_DTYPE", "bfloat16")
     sgen = StreamingGenerator(gen, StreamConfig(
@@ -130,6 +154,7 @@ def run_stream(tiles: int, steps: int = 3, block: int = 2) -> None:
         "metric": "256x256x100ch tiles/sec/chip, full 15-step DDIM",
         "value": round(rate, 5), "unit": "tiles/s/chip",
         "grid": f"{tiles}x{tiles}", "mode": f"stream-{block}x{block}",
+        **({"quant": quant} if quant else {}),
         "transfer_dtype": tdt,
         "window_chunk": gconf.window_chunk,
         "vs_baseline": round(rate / (118404 / (604800.0 * 8)), 2),
@@ -141,12 +166,14 @@ def main():
     ap.add_argument("--points", default="2,4,8,16")
     ap.add_argument("--stream", type=int, default=16)
     ap.add_argument("--skip_inhbm", action="store_true")
+    ap.add_argument("--quant", default="",
+                    choices=("", "int8", "int8_static"))
     args = ap.parse_args()
     if not args.skip_inhbm:
         for tiles in [int(t) for t in args.points.split(",") if t]:
-            run_inhbm(tiles)
+            run_inhbm(tiles, quant=args.quant)
     if args.stream:
-        run_stream(args.stream)
+        run_stream(args.stream, quant=args.quant)
 
 
 if __name__ == "__main__":

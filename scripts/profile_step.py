@@ -54,18 +54,34 @@ def build(tiles: int, chunk: int, block_major: bool, packed: bool = False,
         params = pack_unet_params(
             jax.tree.map(lambda p: np.asarray(p, np.float32), params),
             conf.make_model_conf())
-        if quant == "int8":
-            from tera_mind_tpu.ops.quant import prequantize_params
+        qa = bool(quant) and os.environ.get("BENCH_QUANT_ATTN",
+                                            "1") == "1"
+        if quant in ("int8", "int8_static"):
+            from tera_mind_tpu.ops.quant import (bake_act_scales,
+                                                 prequantize_params,
+                                                 _path_names)
             params = prequantize_params(
                 jax.tree.map(lambda p: jnp.asarray(p, jnp.bfloat16),
-                             params))
-        model = PackedTeraUNet(conf.make_model_conf(), quant=quant,
-                               prequant=quant == "int8")
+                             params), attn=qa)
+            if quant == "int8_static":
+                # profiling only needs the static PROGRAM, not real
+                # calibration — bake unit scales (amax=127 -> a_scale=1)
+                accum = {("calib",) + _path_names(k)[1:-1] + ("a_max",):
+                         127.0
+                         for k, _ in jax.tree_util.tree_leaves_with_path(
+                             params)
+                         if getattr(k[-1], "key", None) == "kernel_q"}
+                params = bake_act_scales(params, accum)
+        model = PackedTeraUNet(conf.make_model_conf(),
+                               quant="int8" if quant else None,
+                               prequant=bool(quant),
+                               static_act=quant == "int8_static",
+                               quant_attn=qa)
     # floats -> bf16; keep pre-quantized int8 kernels / f32 scales
     params = jax.tree_util.tree_map_with_path(
         lambda kp, p: jnp.asarray(p) if getattr(kp[-1], "key", None)
-        == "w_scale" or not jnp.issubdtype(jnp.asarray(p).dtype,
-                                           jnp.floating)
+        in ("w_scale", "a_scale") or not jnp.issubdtype(
+            jnp.asarray(p).dtype, jnp.floating)
         else jnp.asarray(p, jnp.bfloat16), params)
 
     def model_fn(p, xp, tm, rp, p1, p2):
@@ -126,7 +142,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=1)
     ap.add_argument("--tile_major", action="store_true")
     ap.add_argument("--packed", action="store_true")
-    ap.add_argument("--quant", default=None, choices=(None, "int8"))
+    ap.add_argument("--quant", default=None,
+                    choices=(None, "int8", "int8_static"))
     ap.add_argument("--logdir", default="/tmp/tmt_profile")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()

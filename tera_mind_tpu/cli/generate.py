@@ -119,6 +119,10 @@ def main():
                     "int8_static additionally calibrates static "
                     "activation scales on the grid's first block — "
                     "fastest, quality gated by the same tests")
+    ap.add_argument("--no_quant_attn", action="store_true",
+                    help="with --quant: keep the DiT blocks' dense "
+                    "projections (adaLN/qkv/proj/MLP) in bf16 instead of "
+                    "int8 (ops/quant.py QuantDense)")
     ap.add_argument("--no_packed", action="store_true",
                     help="run the 5D-layout TeraUNet instead of the "
                     "z-packed exact reparameterization (models/"
@@ -188,10 +192,13 @@ def main():
             # int8_static starts dynamic and swaps to static scales
             # after the calibration phase below
             from ..ops.quant import prequantize_params
-            params = prequantize_params(params)
+            params = prequantize_params(
+                params, attn=not args.no_quant_attn)
         model = PackedTeraUNet(conf.make_model_conf(),
                                quant="int8" if args.quant else None,
-                               prequant=bool(args.quant))
+                               prequant=bool(args.quant),
+                               quant_attn=bool(args.quant)
+                               and not args.no_quant_attn)
 
     def _to_device(path, p):
         # floats -> bf16, but keep pre-quantized int8 kernels and their
@@ -263,7 +270,8 @@ def main():
                                      steps=args.tot_epoch,
                                      row0=row0, col0=col0)
         model = PackedTeraUNet(conf.make_model_conf(), quant="int8",
-                               prequant=True, static_act=True)
+                               prequant=True, static_act=True,
+                               quant_attn=not args.no_quant_attn)
         gen = TeraGenerator(sampler, model_fn, gconf, params=params,
                             mesh=mesh)
         print(f"calibrated int8 static activation scales on a "

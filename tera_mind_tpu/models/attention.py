@@ -64,6 +64,17 @@ class CrossAttention(nn.Module):
     n_win: Optional[int] = None  # spatial window grid per side (e.g. 2)
     dtype: jnp.dtype = jnp.float32
     backend: Optional[str] = None  # 'xla' | 'pallas' (None -> env default)
+    quant: Optional[str] = None  # 'int8' projections (packed inference)
+    prequant: bool = False
+    static_act: bool = False
+
+    def _dense(self, name: str):
+        if self.quant == "int8":
+            from ..ops.quant import QuantDense
+            return QuantDense(features=self.dim, dtype=self.dtype,
+                              prequant=self.prequant,
+                              static_act=self.static_act, name=name)
+        return nn.Dense(self.dim, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: Optional[jnp.ndarray],
@@ -72,9 +83,9 @@ class CrossAttention(nn.Module):
         nh = self.num_heads
         hd = self.dim // nh
         src = x if y is None else y
-        q = nn.Dense(self.dim, dtype=self.dtype, name="q")(x)
-        k = nn.Dense(self.dim, dtype=self.dtype, name="k")(src)
-        v = nn.Dense(self.dim, dtype=self.dtype, name="v")(src)
+        q = self._dense("q")(x)
+        k = self._dense("k")(src)
+        v = self._dense("v")(src)
         q = q.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
@@ -102,7 +113,7 @@ class CrossAttention(nn.Module):
         if self.n_win is not None:
             out = _window_unfold(out, z_size, self.n_win, nh)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return self._dense("proj")(out)
 
 
 class DiTBlock(nn.Module):
@@ -119,6 +130,9 @@ class DiTBlock(nn.Module):
     n_win: Optional[int] = 2
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None  # 'int8' adaLN/attention/MLP denses
+    prequant: bool = False
+    static_act: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
@@ -127,18 +141,29 @@ class DiTBlock(nn.Module):
         xt = x.reshape(b, z * h * w, c)
         ct = cond.reshape(b, z * h * w, cond.shape[-1])
 
-        mod = nn.Dense(7 * c, dtype=self.dtype, name="adaLN")(nn.silu(ct))
+        if self.quant == "int8":
+            from ..ops.quant import QuantDense
+            ada = QuantDense(features=7 * c, dtype=self.dtype,
+                             prequant=self.prequant,
+                             static_act=self.static_act, name="adaLN")
+        else:
+            ada = nn.Dense(7 * c, dtype=self.dtype, name="adaLN")
+        mod = ada(nn.silu(ct))
         (shift_msa, scale_msa, gate_msa, crss_cnd,
          shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 7, axis=-1)
 
         norm1 = RMSNorm(name="norm1")
         norm2 = RMSNorm(name="norm2")
         attn = CrossAttention(dim=c, num_heads=self.num_heads,
-                              n_win=self.n_win, dtype=self.dtype, name="attn")
+                              n_win=self.n_win, dtype=self.dtype,
+                              quant=self.quant, prequant=self.prequant,
+                              static_act=self.static_act, name="attn")
         xt = xt + gate_msa * attn(
             modulate(norm1, xt, shift_msa, scale_msa), crss_cnd, z)
         xt = xt + gate_mlp * Mlp(int(c * self.mlp_ratio),
-                                 dtype=self.dtype, name="mlp")(
+                                 dtype=self.dtype, quant=self.quant,
+                                 prequant=self.prequant,
+                                 static_act=self.static_act, name="mlp")(
             modulate(norm2, xt, shift_mlp, scale_mlp))
         return xt.reshape(b, z, h, w, c)
 

@@ -91,21 +91,36 @@ class TimeEmbed(nn.Module):
 
 class Mlp(nn.Module):
     """Transformer MLP: dense -> GELU(tanh) -> dense (timm-Mlp-compatible,
-    reference MBAblocks.py:11,461)."""
+    reference MBAblocks.py:11,461).
+
+    ``quant='int8'`` swaps the denses for int8 MXU matmuls (same param
+    names/shapes; ops/quant.py QuantDense) — the packed model's opt-in
+    inference mode; off by default everywhere else."""
 
     hidden_features: int
     out_features: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
+    prequant: bool = False
+    static_act: bool = False
+
+    def _dense(self, features: int, name: str):
+        if self.quant == "int8":
+            from ..ops.quant import QuantDense
+            return QuantDense(features=features, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              prequant=self.prequant,
+                              static_act=self.static_act, name=name)
+        return nn.Dense(features, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name=name)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out = self.out_features or x.shape[-1]
-        h = nn.Dense(self.hidden_features, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="fc1")(x)
+        h = self._dense(self.hidden_features, "fc1")(x)
         h = nn.gelu(h, approximate=True)
-        h = nn.Dense(out, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="fc2")(h)
+        h = self._dense(out, "fc2")(h)
         return h
 
 

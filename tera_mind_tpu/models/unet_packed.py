@@ -325,6 +325,11 @@ class PackedTeraUNet(nn.Module):
     static_act: bool = False      # with quant: params carry calibrated
                                   # activation scales (bake_act_scales) —
                                   # no dynamic abs-max pass
+    quant_attn: bool = False      # with quant: ALSO run the DiT blocks'
+                                  # dense projections (adaLN, q/k/v/proj,
+                                  # MLP) as int8 — the largest non-conv
+                                  # matmul share; logits/value products
+                                  # and norms stay bf16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, rna: jnp.ndarray,
@@ -361,6 +366,15 @@ class PackedTeraUNet(nn.Module):
             h5 = unpack_features(hp, z)
             return pack_features(block(h5, cond5), z)
 
+        qa = self.quant if (self.quant_attn and self.quant) else None
+
+        def dit(hidden_size, name):
+            return DiTBlock(hidden_size=hidden_size,
+                            num_heads=conf.num_heads, n_win=2, dtype=dt,
+                            quant=qa, prequant=qa is not None and
+                            self.prequant, static_act=qa is not None and
+                            self.static_act, name=name)
+
         if self.from_5d:
             h = Conv3DAsPacked(features=conf.model_channels, z=z,
                                kernel3=(1, 3, 3), dtype=dt,
@@ -396,10 +410,8 @@ class PackedTeraUNet(nn.Module):
                                        h, emb_orig,
                                        deterministic=deterministic)
                 if resolution in conf.attention_resolutions:
-                    blk = DiTBlock(hidden_size=h.shape[-1] // z,
-                                   num_heads=conf.num_heads, n_win=2,
-                                   dtype=dt, name=f"enc_{k}_attn")
-                    h = attn(blk, h, rfeat5)
+                    h = attn(dit(h.shape[-1] // z, f"enc_{k}_attn"),
+                             h, rfeat5)
                 hid[lvl].append(h)
                 k += 1
 
@@ -411,10 +423,7 @@ class PackedTeraUNet(nn.Module):
                            use_zero_module=conf.use_zero_module,
                            name="mid_res0")(h, emb_orig,
                                             deterministic=deterministic)
-        blk = DiTBlock(hidden_size=h.shape[-1] // z,
-                       num_heads=conf.num_heads, n_win=2, dtype=dt,
-                       name="mid_attn")
-        h = attn(blk, h, rna_feats5[0])
+        h = attn(dit(h.shape[-1] // z, "mid_attn"), h, rna_feats5[0])
         h = PackedResBlock(from_5d=self.from_5d, quant=self.quant, prequant=self.prequant, static_act=self.static_act, out_channels=h.shape[-1] // z, z=z,
                            dropout=conf.dropout,
                            use_zero_module=conf.use_zero_module,
@@ -438,10 +447,8 @@ class PackedTeraUNet(nn.Module):
                     use_zero_module=conf.use_zero_module,
                     name=f"dec_{k}_res"))
                 dch = mult * conf.model_channels
-                dec_attn.append(DiTBlock(
-                    hidden_size=mult * conf.model_channels,
-                    num_heads=conf.num_heads, n_win=2, dtype=dt,
-                    name=f"dec_{k}_attn")
+                dec_attn.append(
+                    dit(mult * conf.model_channels, f"dec_{k}_attn")
                     if res in conf.attention_resolutions else None)
                 if lvl > 0 and j == nrb:
                     dec_up.append(PackedResBlock(from_5d=self.from_5d, quant=self.quant, prequant=self.prequant, static_act=self.static_act, 

@@ -32,6 +32,7 @@ import re
 from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+from flax import linen as nn
 from jax import lax
 
 _EPS = 1e-8
@@ -100,12 +101,82 @@ def quant_conv2d(x: jnp.ndarray, w: Optional[jnp.ndarray],
     return out.astype(out_dtype)
 
 
+def quant_dense(x: jnp.ndarray, w: Optional[jnp.ndarray],
+                bias: Optional[jnp.ndarray],
+                out_dtype=jnp.bfloat16,
+                w_q: Optional[jnp.ndarray] = None,
+                w_scale: Optional[jnp.ndarray] = None,
+                a_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """int8 dense: ``x (..., Ci) @ w (Ci, Co)`` on the MXU.
+
+    Same scheme as :func:`quant_conv2d` (symmetric per-tensor activations,
+    per-output-channel weights, int32 accumulation) — used for the DiT
+    blocks' projection/MLP matmuls, which are the largest non-conv share
+    of an int8 generation step (BASELINE.md int8 profile)."""
+    if a_scale is not None:
+        sx = a_scale.astype(jnp.float32)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+    else:
+        xq, sx = quantize_tensor(x)
+    if w_q is not None:
+        wq, sw = w_q, w_scale
+    else:
+        wq, sw = quantize_weight(w)
+    y = lax.dot_general(xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    out = y.astype(jnp.float32) * (sx * sw)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+class QuantDense(nn.Module):
+    """Drop-in int8 replacement for ``nn.Dense`` (param names/shapes
+    identical: "kernel" (Ci, Co), "bias" (Co,)), mirroring
+    :class:`~tera_mind_tpu.models.unet_packed.QuantConv2p`'s
+    prequant / static_act / calibration-sow contract.  Inference-only."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+    prequant: bool = False
+    static_act: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       self.param_dtype)
+        a = None
+        if self.static_act:
+            a = self.param("a_scale",
+                           lambda k, s: jnp.ones(s, jnp.float32), ())
+        elif not self.is_initializing():
+            self.sow("calib", "a_max",
+                     jnp.max(jnp.abs(x)).astype(jnp.float32))
+        if self.prequant:
+            wq = self.param("kernel_q",
+                            lambda k, s: jnp.zeros(s, jnp.int8),
+                            (x.shape[-1], self.features))
+            sw = self.param("w_scale",
+                            lambda k, s: jnp.ones(s, jnp.float32),
+                            (self.features,))
+            return quant_dense(x, None, b, out_dtype=self.dtype or x.dtype,
+                               w_q=wq, w_scale=sw, a_scale=a)
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (x.shape[-1], self.features), self.param_dtype)
+        return quant_dense(x, w, b, out_dtype=self.dtype or x.dtype,
+                           a_scale=a)
+
+
 _RESBLOCK = re.compile(
     r"^(enc_\d+_res|dec_\d+_res|dec_\d+_up|mid_res[01])$")
 _QCONVS = ("in_conv", "out_conv", "skip_conv")
+_ATTNBLOCK = re.compile(r"^(enc_\d+_attn|dec_\d+_attn|mid_attn)$")
+_QDENSES = ("adaLN", "q", "k", "v", "proj", "fc1", "fc2")
 
 
-def prequantize_params(params):
+def prequantize_params(params, attn: bool = False):
     """Pre-quantize a PACKED param tree (from_5d=False layout) for
     ``PackedTeraUNet(conf, quant='int8', prequant=True)``.
 
@@ -117,27 +188,39 @@ def prequantize_params(params):
     quantization.  Bias and every non-resblock param pass through
     untouched.  The UNet-level ``stem``/``out_conv`` (root) are NOT
     quantized — their parent is the root, not a resblock.
+
+    With ``attn=True`` (for ``PackedTeraUNet(..., quant_attn=True)``) the
+    DiT blocks' dense kernels (adaLN, attention q/k/v/proj, MLP fc1/fc2 —
+    the set routed through :class:`QuantDense`) are pre-quantized the same
+    way; the attention logits/value matmuls and all norms stay bf16.
     """
     col = params["params"] if "params" in params else params
 
-    def walk(tree, parent):
+    def quantized(sub):
+        wq, sw = quantize_weight(jnp.asarray(sub["kernel"], jnp.float32))
+        new = {k: v for k, v in sub.items() if k != "kernel"}
+        new["kernel_q"], new["w_scale"] = wq, sw
+        return new
+
+    def walk(tree, parent, in_attn):
         out = {}
         for name, sub in tree.items():
             if (isinstance(sub, dict) and name in _QCONVS
                     and _RESBLOCK.match(parent or "")
                     and "kernel" in sub and sub["kernel"].ndim == 4):
-                wq, sw = quantize_weight(jnp.asarray(sub["kernel"],
-                                                     jnp.float32))
-                new = {k: v for k, v in sub.items() if k != "kernel"}
-                new["kernel_q"], new["w_scale"] = wq, sw
-                out[name] = new
+                out[name] = quantized(sub)
+            elif (attn and in_attn and isinstance(sub, dict)
+                    and name in _QDENSES and "kernel" in sub
+                    and sub["kernel"].ndim == 2):
+                out[name] = quantized(sub)
             elif isinstance(sub, dict):
-                out[name] = walk(sub, name)
+                out[name] = walk(sub, name,
+                                 in_attn or bool(_ATTNBLOCK.match(name)))
             else:
                 out[name] = sub
         return out
 
-    new_col = walk(col, None)
+    new_col = walk(col, None, False)
     if "params" in params:
         return {**params, "params": new_col}
     return new_col

@@ -441,3 +441,201 @@ def test_calibrate_generator_callback_free():
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
     assert abs(a.mean() - b.mean()) < 0.01
     assert abs(a.std() - b.std()) / a.std() < 0.02
+
+
+def test_streaming_quant_matches_in_hbm():
+    """--stream --quant: the host-streaming path (state beyond HBM,
+    parallel/streaming.py) must reproduce the in-HBM quantized chain, so
+    the whole-brain deployment mode gets the int8 speedup
+    (cli.generate --stream --quant, scripts/bench_ladder.py --quant).
+    Both paths denoise each tile with the same fixed-shape model call, so
+    results agree to jit-boundary fusion noise."""
+    from tera_mind_tpu.diffusion.sampler import (DiffusionSampler,
+                                                 SamplerConfig)
+    from tera_mind_tpu.diffusion.schedule import spaced_schedule
+    from tera_mind_tpu.models.unet_packed import (PackedTeraUNet,
+                                                  pack_unet_params)
+    from tera_mind_tpu.ops.quant import (calibrate_generator,
+                                         prequantize_params)
+    from tera_mind_tpu.parallel.generator import (GeneratorConfig,
+                                                  TeraGenerator)
+    from tera_mind_tpu.parallel.streaming import (StreamConfig,
+                                                  StreamingGenerator)
+
+    conf = _tiny_conf()
+    kx, kr, kp = jax.random.split(jax.random.PRNGKey(29), 3)
+    x = jax.random.normal(kx, (4, 32, 32, 4), jnp.float32)
+    rna = (jax.random.uniform(kr, (4, 2, 2, 64)) < 0.2
+           ).astype(jnp.float32) * 2
+    t = jnp.array([0], jnp.int32)
+    model5 = conf.make_model()
+    params5 = jax.jit(lambda k: model5.init(k, x, t, rna, 2, 2))(kp)
+    paramsP = pack_unet_params(
+        jax.tree.map(lambda p: np.asarray(p, np.float32), params5), conf)
+    paramsQ = prequantize_params(paramsP)
+
+    gconf = GeneratorConfig(tile=64, patch=32, gn_blk=16, snum=4,
+                            n_slices=6, stains=2, gdim=16,
+                            noise_backend="jax")
+    sched = spaced_schedule("linear", 1000, "ddim5")
+    sampler = DiffusionSampler(sched, SamplerConfig(patch_size=32,
+                                                    gn_sz=2))
+    rows = cols = 3
+    rng = np.random.default_rng(8)
+    gene = (rng.random((rows, cols, gconf.gsz, gconf.gsz, gconf.z_pad,
+                        gconf.gdim)) < 0.05).astype(np.uint8)
+
+    dyn = PackedTeraUNet(conf, quant="int8", prequant=True)
+
+    def mf_dyn(p, xp, tm, rp, p1, p2):
+        return dyn.apply(p, xp, tm, rp, p1, p2, decode_original=False)
+
+    # calibrate on the first 2x2 block (the bench_ladder/CLI protocol)
+    cgen = TeraGenerator(sampler, mf_dyn, gconf, params=paramsQ)
+    paramsS = calibrate_generator(cgen, dyn, paramsQ, gene[:2, :2],
+                                  steps=5)
+
+    sta = PackedTeraUNet(conf, quant="int8", prequant=True,
+                         static_act=True)
+
+    def mf_sta(p, xp, tm, rp, p1, p2):
+        return sta.apply(p, xp, tm, rp, p1, p2, decode_original=False)
+
+    gen = TeraGenerator(sampler, mf_sta, gconf, params=paramsS)
+    want = gen.run(gene, row0=1, col0=1, progress=False)
+
+    sgen = StreamingGenerator(gen, StreamConfig(block_rows=2, block_cols=2,
+                                                progress=False))
+    got = np.asarray(sgen.run(rows, cols, gene, row0=1, col0=1).read)
+
+    assert np.isfinite(got).all()
+    # identical per-tile math; XLA may fuse the streamed window program
+    # differently from the whole-grid program (ulp-level), amplified by
+    # the 5-step DDIM chain -> tight numeric + statistical gates
+    np.testing.assert_allclose(got, want, atol=5e-4)
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.9999
+
+
+def test_quant_attn_model_close_and_prequant_exact():
+    """quant_attn=True (int8 DiT dense projections — adaLN, q/k/v/proj,
+    MLP; ops/quant.py QuantDense) must stay close to the exact model, and
+    prequantized dense kernels must reproduce the dynamic path (same
+    quantize_weight, hoisted)."""
+    from tera_mind_tpu.models.unet_packed import (PackedTeraUNet,
+                                                  pack_unet_params)
+    from tera_mind_tpu.ops.quant import prequantize_params
+
+    conf = _tiny_conf()
+    kx, kr, kp = jax.random.split(jax.random.PRNGKey(31), 3)
+    x = jax.random.normal(kx, (4, 32, 32, 4), jnp.float32)
+    rna = (jax.random.uniform(kr, (4, 2, 2, 64)) < 0.2
+           ).astype(jnp.float32) * 2
+    t = jnp.array([55], jnp.int32)
+
+    model5 = conf.make_model()
+    params5 = jax.jit(lambda k: model5.init(k, x, t, rna, 2, 2))(kp)
+    paramsP = pack_unet_params(
+        jax.tree.map(lambda p: np.asarray(p, np.float32), params5), conf)
+
+    exact = PackedTeraUNet(conf)
+    dyn = PackedTeraUNet(conf, quant="int8", quant_attn=True)
+    ce, oe = jax.jit(lambda p: exact.apply(p, x, t, rna, 2, 2))(paramsP)
+    cd, od = jax.jit(lambda p: dyn.apply(p, x, t, rna, 2, 2))(paramsP)
+    for a, b in ((ce, cd), (oe, od)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        scale = np.abs(a).max() + 1e-6
+        assert np.max(np.abs(a - b)) / scale < 0.15, \
+            np.max(np.abs(a - b)) / scale
+        assert np.mean(np.abs(a - b)) / scale < 0.02, \
+            np.mean(np.abs(a - b)) / scale
+
+    paramsQ = prequantize_params(paramsP, attn=True)
+    n_dense_q = sum(
+        1 for k, v in jax.tree_util.tree_leaves_with_path(paramsQ)
+        if getattr(k[-1], "key", None) == "kernel_q" and v.ndim == 2)
+    assert n_dense_q > 0  # DiT denses actually got quantized
+    pre = PackedTeraUNet(conf, quant="int8", prequant=True,
+                         quant_attn=True)
+    cp, op = jax.jit(lambda p: pre.apply(p, x, t, rna, 2, 2))(paramsQ)
+    atol = 0 if jax.default_backend() in ("tpu", "axon") else 1e-5
+    np.testing.assert_allclose(np.asarray(cd), np.asarray(cp), atol=atol)
+    np.testing.assert_allclose(np.asarray(od), np.asarray(op), atol=atol)
+
+
+def test_quant_attn_chain_quality_static():
+    """Deployment gate for the quant_attn int8_static mode (the bench/CLI
+    default when --quant is on): calibrate through calibrate_generator
+    with DiT denses quantized, run the static chain, compare to the exact
+    chain with the same statistical gates as the conv-only mode."""
+    from tera_mind_tpu.diffusion.sampler import (DiffusionSampler,
+                                                 SamplerConfig)
+    from tera_mind_tpu.diffusion.schedule import spaced_schedule
+    from tera_mind_tpu.models.unet_packed import (PackedTeraUNet,
+                                                  pack_unet_params)
+    from tera_mind_tpu.ops.quant import (calibrate_generator,
+                                         prequantize_params)
+    from tera_mind_tpu.parallel.generator import (GeneratorConfig,
+                                                  TeraGenerator)
+
+    conf = _tiny_conf()
+    kx, kr, kp = jax.random.split(jax.random.PRNGKey(37), 3)
+    x = jax.random.normal(kx, (4, 32, 32, 4), jnp.float32)
+    rna = (jax.random.uniform(kr, (4, 2, 2, 64)) < 0.2
+           ).astype(jnp.float32) * 2
+    t = jnp.array([0], jnp.int32)
+    model5 = conf.make_model()
+    params5 = jax.jit(lambda k: model5.init(k, x, t, rna, 2, 2))(kp)
+    paramsP = pack_unet_params(
+        jax.tree.map(lambda p: np.asarray(p, np.float32), params5), conf)
+    paramsQ = prequantize_params(paramsP, attn=True)
+
+    gconf = GeneratorConfig(tile=64, patch=32, gn_blk=16, snum=4,
+                            n_slices=6, stains=2, gdim=16,
+                            noise_backend="jax")
+    sched = spaced_schedule("linear", 1000, "ddim5")
+    sampler = DiffusionSampler(sched, SamplerConfig(patch_size=32,
+                                                    gn_sz=2))
+    rng = np.random.default_rng(10)
+    gene = (rng.random((2, 2, gconf.gsz, gconf.gsz, gconf.z_pad,
+                        gconf.gdim)) < 0.05).astype(np.uint8)
+
+    exact = PackedTeraUNet(conf)
+
+    def mf_exact(xp, tm, rp, p1, p2):
+        return exact.apply(paramsP, xp, tm, rp, p1, p2,
+                           decode_original=False)
+
+    a = TeraGenerator(sampler, mf_exact, gconf).run(gene, row0=1, col0=1,
+                                                    progress=False)
+
+    dyn = PackedTeraUNet(conf, quant="int8", prequant=True,
+                         quant_attn=True)
+
+    def mf_dyn(p, xp, tm, rp, p1, p2):
+        return dyn.apply(p, xp, tm, rp, p1, p2, decode_original=False)
+
+    cgen = TeraGenerator(sampler, mf_dyn, gconf, params=paramsQ)
+    paramsS = calibrate_generator(cgen, dyn, paramsQ, gene, steps=5)
+    # every quantized kernel (convs AND denses) got a calibrated scale
+    n_scales = sum(1 for k, _ in jax.tree_util.tree_leaves_with_path(
+        paramsS) if getattr(k[-1], "key", None) == "a_scale")
+    n_kq = sum(1 for k, _ in jax.tree_util.tree_leaves_with_path(
+        paramsS) if getattr(k[-1], "key", None) == "kernel_q")
+    assert n_scales == n_kq > 0, (n_scales, n_kq)
+
+    sta = PackedTeraUNet(conf, quant="int8", prequant=True,
+                         static_act=True, quant_attn=True)
+
+    def mf_sta(p, xp, tm, rp, p1, p2):
+        return sta.apply(p, xp, tm, rp, p1, p2, decode_original=False)
+
+    b = TeraGenerator(sampler, mf_sta, gconf, params=paramsS).run(
+        gene, row0=1, col0=1, progress=False)
+
+    assert np.isfinite(b).all()
+    d = np.abs(a - b)
+    assert np.mean(d) < 0.03, np.mean(d)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
+    assert abs(a.mean() - b.mean()) < 0.01
+    assert abs(a.std() - b.std()) / a.std() < 0.02
