@@ -32,6 +32,29 @@ def main():
     rows = cols = int(os.environ.get("BENCH_TILES", "2"))
     steps = int(os.environ.get("BENCH_STEPS", "15"))
 
+    quant_rec = None
+    if not os.environ.get("BENCH_QUANT") and \
+            os.environ.get("BENCH_REPORT_QUANT", "1") == "1":
+        # ALSO measure the opt-in int8_static deployment mode — in a
+        # subprocess launched BEFORE this process touches the TPU (only
+        # one process can hold the chip; launching it later would
+        # deadlock: parent holds the device while waiting on a child
+        # blocked at backend init).  The headline "value" stays the EXACT
+        # bf16 model (BASELINE.md); the quant rate is a separate,
+        # clearly-labeled field.
+        import subprocess
+        import sys
+        env = dict(os.environ, BENCH_QUANT="int8_static")
+        try:
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=3600)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")]
+            quant_rec = json.loads(line[-1])
+        except Exception:
+            quant_rec = None  # informational; never fail the bench
+
     conf = prep_config("638850", batch=4, size=64, stain="all", srna=4)
     conf.compute_dtype = "bfloat16"
     model = conf.make_model_conf().make_model()
@@ -158,26 +181,9 @@ def main():
         "vs_baseline": round(tiles_per_sec / REF_TILES_PER_SEC_PER_GPU, 2),
         "grid": f"{rows}x{cols}",
     }
-    if not os.environ.get("BENCH_QUANT") and \
-            os.environ.get("BENCH_REPORT_QUANT", "1") == "1":
-        # headline "value" stays the EXACT bf16 model (BASELINE.md); also
-        # measure the opt-in int8_static deployment mode (calibrated
-        # static scales, ops/quant.py) in a subprocess and report it as a
-        # separate, clearly-labeled field
-        import subprocess
-        import sys
-        env = dict(os.environ, BENCH_QUANT="int8_static")
-        try:
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 timeout=3600)
-            line = [l for l in out.stdout.splitlines()
-                    if l.startswith("{")]
-            q = json.loads(line[-1])
-            rec["int8_static"] = q["value"]
-            rec["int8_static_vs_baseline"] = q["vs_baseline"]
-        except Exception:
-            pass  # quant point is informational; never fail the bench
+    if quant_rec is not None:
+        rec["int8_static"] = quant_rec["value"]
+        rec["int8_static_vs_baseline"] = quant_rec["vs_baseline"]
     print(json.dumps(rec))
 
 
