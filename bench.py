@@ -108,9 +108,14 @@ def main():
         if q:
             from tera_mind_tpu.ops.quant import prequantize_params
             params = prequantize_params(params, attn=qa)
+        # BENCH_PACKED_ATTN=1: DiT blocks run on the packed (h,w,z) token
+        # layout (no per-block pack/unpack transposes; reassociation-
+        # equivalent, tests/test_packed.py)
+        pa = os.environ.get("BENCH_PACKED_ATTN", "0") == "1"
         model = PackedTeraUNet(conf.make_model_conf(),
                                quant="int8" if q else None,
-                               prequant=bool(q), quant_attn=qa)
+                               prequant=bool(q), quant_attn=qa,
+                               packed_attn=pa)
 
     def model_fn(p, xp, tm, rp, p1, p2):
         # inference uses only the collage decode (base.py:387); params flow
@@ -145,7 +150,7 @@ def main():
             margin=float(os.environ.get("BENCH_CALIB_MARGIN", "1.0")))
         model = PackedTeraUNet(conf.make_model_conf(), quant="int8",
                                prequant=True, static_act=True,
-                               quant_attn=qa)
+                               quant_attn=qa, packed_attn=pa)
         gen = TeraGenerator(sampler, model_fn, gconf, params=params)
 
     # block-major (default): one patch grid over the whole block — ~19%

@@ -76,7 +76,9 @@ def build(tiles: int, chunk: int, block_major: bool, packed: bool = False,
                                quant="int8" if quant else None,
                                prequant=bool(quant),
                                static_act=quant == "int8_static",
-                               quant_attn=qa)
+                               quant_attn=qa,
+                               packed_attn=os.environ.get(
+                                   "BENCH_PACKED_ATTN", "0") == "1")
     # floats -> bf16; keep pre-quantized int8 kernels / f32 scales
     params = jax.tree_util.tree_map_with_path(
         lambda kp, p: jnp.asarray(p) if getattr(kp[-1], "key", None)

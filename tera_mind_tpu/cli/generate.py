@@ -119,6 +119,10 @@ def main():
                     "int8_static additionally calibrates static "
                     "activation scales on the grid's first block — "
                     "fastest, quality gated by the same tests")
+    ap.add_argument("--packed_attn", action="store_true",
+                    help="run the DiT blocks on the packed (h,w,z) token "
+                    "layout (no per-block pack/unpack transposes; "
+                    "reassociation-equivalent, tests/test_packed.py)")
     ap.add_argument("--no_quant_attn", action="store_true",
                     help="with --quant: keep the DiT blocks' dense "
                     "projections (adaLN/qkv/proj/MLP) in bf16 instead of "
@@ -198,7 +202,8 @@ def main():
                                quant="int8" if args.quant else None,
                                prequant=bool(args.quant),
                                quant_attn=bool(args.quant)
-                               and not args.no_quant_attn)
+                               and not args.no_quant_attn,
+                               packed_attn=args.packed_attn)
 
     def _to_device(path, p):
         # floats -> bf16, but keep pre-quantized int8 kernels and their
@@ -271,7 +276,8 @@ def main():
                                      row0=row0, col0=col0)
         model = PackedTeraUNet(conf.make_model_conf(), quant="int8",
                                prequant=True, static_act=True,
-                               quant_attn=not args.no_quant_attn)
+                               quant_attn=not args.no_quant_attn,
+                               packed_attn=args.packed_attn)
         gen = TeraGenerator(sampler, model_fn, gconf, params=params,
                             mesh=mesh)
         print(f"calibrated int8 static activation scales on a "

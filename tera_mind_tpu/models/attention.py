@@ -27,25 +27,39 @@ def _default_attn_backend() -> str:
     return "pallas" if os.environ.get("TMT_PALLAS_ATTN") == "1" else "xla"
 
 
-def _window_fold(t: jnp.ndarray, z: int, n_win: int) -> jnp.ndarray:
-    """(B, heads, z*h*w, d) -> (B, heads*n_win^2, z*(h/n)*(w/n), d).
+def _window_fold(t: jnp.ndarray, z: int, n_win: int,
+                 order: str = "zhw") -> jnp.ndarray:
+    """(B, heads, n, d) -> (B, heads*n_win^2, z*(h/n)*(w/n), d).
 
     Regroups tokens into n_win x n_win spatial windows folded into the head
-    axis, head-major ordering (reference MBAblocks.py:558-565).
+    axis, head-major ordering (reference MBAblocks.py:558-565).  ``order``
+    is the incoming token order: 'zhw' (5D layout, token = (zi*h + hr)*w
+    + wc) or 'hwz' (packed layout, token = (hr*w + wc)*z + zi — a free
+    reshape of the z-major packed channels).  Attention is permutation-
+    equivariant over tokens, so either order yields the same outputs (in
+    its own order) up to float reassociation in the softmax/value sums.
     """
     b, nh, n, d = t.shape
     s = int(round((n // z) ** 0.5))
     hw = s // n_win
-    t = t.reshape(b, nh, z, n_win, hw, n_win, hw, d)
-    t = t.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # b nh n_h n_w z h w d
+    if order == "hwz":
+        t = t.reshape(b, nh, n_win, hw, n_win, hw, z, d)
+        t = t.transpose(0, 1, 2, 4, 3, 5, 6, 7)  # b nh n_h n_w h w z d
+    else:
+        t = t.reshape(b, nh, z, n_win, hw, n_win, hw, d)
+        t = t.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # b nh n_h n_w z h w d
     return t.reshape(b, nh * n_win * n_win, z * hw * hw, d)
 
 
 def _window_unfold(t: jnp.ndarray, z: int, n_win: int,
-                   num_heads: int) -> jnp.ndarray:
+                   num_heads: int, order: str = "zhw") -> jnp.ndarray:
     """Inverse of :func:`_window_fold`."""
     b, nhw, n, d = t.shape
     hw = int(round((n // z) ** 0.5))
+    if order == "hwz":
+        t = t.reshape(b, num_heads, n_win, n_win, hw, hw, z, d)
+        t = t.transpose(0, 1, 2, 4, 3, 5, 6, 7)  # b nh n_h h n_w w z d
+        return t.reshape(b, num_heads, (n_win * hw) ** 2 * z, d)
     t = t.reshape(b, num_heads, n_win, n_win, z, hw, hw, d)
     t = t.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # b nh z n_h h n_w w d
     return t.reshape(b, num_heads, z * (n_win * hw) ** 2, d)
@@ -67,6 +81,7 @@ class CrossAttention(nn.Module):
     quant: Optional[str] = None  # 'int8' projections (packed inference)
     prequant: bool = False
     static_act: bool = False
+    token_order: str = "zhw"     # see _window_fold
 
     def _dense(self, name: str):
         if self.quant == "int8":
@@ -90,9 +105,9 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
         if self.n_win is not None:
-            q = _window_fold(q, z_size, self.n_win)
-            k = _window_fold(k, z_size, self.n_win)
-            v = _window_fold(v, z_size, self.n_win)
+            q = _window_fold(q, z_size, self.n_win, self.token_order)
+            k = _window_fold(k, z_size, self.n_win, self.token_order)
+            v = _window_fold(v, z_size, self.n_win, self.token_order)
         q = RMSNorm(name="q_norm")(q)
         k = RMSNorm(name="k_norm")(k)
 
@@ -111,7 +126,8 @@ class CrossAttention(nn.Module):
                               axis=-1).astype(v.dtype)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         if self.n_win is not None:
-            out = _window_unfold(out, z_size, self.n_win, nh)
+            out = _window_unfold(out, z_size, self.n_win, nh,
+                                 self.token_order)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         return self._dense("proj")(out)
 
@@ -133,13 +149,31 @@ class DiTBlock(nn.Module):
     quant: Optional[str] = None  # 'int8' adaLN/attention/MLP denses
     prequant: bool = False
     static_act: bool = False
+    packed_tokens: bool = False  # x/cond are z-major packed (B, H, W, Z*C);
+                                 # tokens flatten in (h, w, z) order — a free
+                                 # reshape, no 5D pack/unpack transposes.
+                                 # Same params, outputs equal up to float
+                                 # reassociation (tests/test_packed.py)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
-        b, z, h, w, c = x.shape
-        assert c == self.hidden_size
-        xt = x.reshape(b, z * h * w, c)
-        ct = cond.reshape(b, z * h * w, cond.shape[-1])
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray,
+                 z_size: Optional[int] = None) -> jnp.ndarray:
+        c = self.hidden_size
+        if self.packed_tokens:
+            # (B, H, W, Z*C) z-major packed: (h, w, z) token flattening is
+            # a pure reshape (channel idx = zi*C + cc), so no transposes
+            b, h, w, zc = x.shape
+            z = z_size
+            assert z is not None and zc == z * c, (x.shape, z, c)
+            xt = x.reshape(b, h * w * z, c)
+            ct = cond.reshape(b, h * w * z, cond.shape[-1] // z)
+            order = "hwz"
+        else:
+            b, z, h, w, _ = x.shape
+            assert x.shape[-1] == c
+            xt = x.reshape(b, z * h * w, c)
+            ct = cond.reshape(b, z * h * w, cond.shape[-1])
+            order = "zhw"
 
         if self.quant == "int8":
             from ..ops.quant import QuantDense
@@ -157,7 +191,8 @@ class DiTBlock(nn.Module):
         attn = CrossAttention(dim=c, num_heads=self.num_heads,
                               n_win=self.n_win, dtype=self.dtype,
                               quant=self.quant, prequant=self.prequant,
-                              static_act=self.static_act, name="attn")
+                              static_act=self.static_act,
+                              token_order=order, name="attn")
         xt = xt + gate_msa * attn(
             modulate(norm1, xt, shift_msa, scale_msa), crss_cnd, z)
         xt = xt + gate_mlp * Mlp(int(c * self.mlp_ratio),
@@ -165,6 +200,8 @@ class DiTBlock(nn.Module):
                                  prequant=self.prequant,
                                  static_act=self.static_act, name="mlp")(
             modulate(norm2, xt, shift_mlp, scale_mlp))
+        if self.packed_tokens:
+            return xt.reshape(b, h, w, zc)
         return xt.reshape(b, z, h, w, c)
 
 

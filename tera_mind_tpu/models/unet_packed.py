@@ -330,6 +330,13 @@ class PackedTeraUNet(nn.Module):
                                   # MLP) as int8 — the largest non-conv
                                   # matmul share; logits/value products
                                   # and norms stay bf16
+    packed_attn: bool = False     # run the DiT blocks directly on the
+                                  # packed (h, w, z)-token layout — drops
+                                  # the per-block 5D pack/unpack
+                                  # transposes (attention is permutation-
+                                  # equivariant over tokens; outputs equal
+                                  # up to float reassociation).  Same
+                                  # params either way
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, rna: jnp.ndarray,
@@ -362,7 +369,11 @@ class PackedTeraUNet(nn.Module):
         bp, ps, _, _ = x.shape
         h = pixel_to_packed(x.astype(dt), z)
 
-        def attn(block: DiTBlock, hp, cond5):
+        def attn(block: DiTBlock, hp, condp, cond5):
+            """condp/cond5: the packed and 5D views of the same rna cond
+            (both already computed; the unused one is DCE'd)."""
+            if self.packed_attn:
+                return block(hp, condp, z_size=z)
             h5 = unpack_features(hp, z)
             return pack_features(block(h5, cond5), z)
 
@@ -373,7 +384,8 @@ class PackedTeraUNet(nn.Module):
                             num_heads=conf.num_heads, n_win=2, dtype=dt,
                             quant=qa, prequant=qa is not None and
                             self.prequant, static_act=qa is not None and
-                            self.static_act, name=name)
+                            self.static_act,
+                            packed_tokens=self.packed_attn, name=name)
 
         if self.from_5d:
             h = Conv3DAsPacked(features=conf.model_channels, z=z,
@@ -411,7 +423,7 @@ class PackedTeraUNet(nn.Module):
                                        deterministic=deterministic)
                 if resolution in conf.attention_resolutions:
                     h = attn(dit(h.shape[-1] // z, f"enc_{k}_attn"),
-                             h, rfeat5)
+                             h, rfeat, rfeat5)
                 hid[lvl].append(h)
                 k += 1
 
@@ -423,7 +435,8 @@ class PackedTeraUNet(nn.Module):
                            use_zero_module=conf.use_zero_module,
                            name="mid_res0")(h, emb_orig,
                                             deterministic=deterministic)
-        h = attn(dit(h.shape[-1] // z, "mid_attn"), h, rna_feats5[0])
+        h = attn(dit(h.shape[-1] // z, "mid_attn"), h, rna_feats[0],
+                 rna_feats5[0])
         h = PackedResBlock(from_5d=self.from_5d, quant=self.quant, prequant=self.prequant, static_act=self.static_act, out_channels=h.shape[-1] // z, z=z,
                            dropout=conf.dropout,
                            use_zero_module=conf.use_zero_module,
@@ -496,7 +509,7 @@ class PackedTeraUNet(nn.Module):
                     hdec = dec_res[k](hdec, emb,
                                       deterministic=deterministic)
                     if dec_attn[k] is not None:
-                        hdec = attn(dec_attn[k], hdec, rcnd5)
+                        hdec = attn(dec_attn[k], hdec, rcnd, rcnd5)
                     if dec_up[k] is not None:
                         hdec = dec_up[k](hdec, emb,
                                          deterministic=deterministic)

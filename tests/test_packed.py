@@ -203,3 +203,70 @@ def test_packed_model_matches_golden():
                                atol=2e-2, rtol=2e-2)
     np.testing.assert_allclose(np.asarray(origP), gold["orig"],
                                atol=2e-2, rtol=2e-2)
+
+
+def test_packed_attn_token_order_equivalent():
+    """packed_attn=True runs the DiT blocks directly on the (h,w,z)-token
+    packed layout — same params, no 5D pack/unpack transposes.  Attention
+    is permutation-equivariant over tokens, so outputs must match the
+    default path up to float reassociation in the softmax/value sums."""
+    from tera_mind_tpu.models.unet_packed import (PackedTeraUNet,
+                                                  pack_unet_params)
+
+    conf = _tiny_conf()
+    model5 = conf.make_model()
+    kx, kr, kp = jax.random.split(jax.random.PRNGKey(17), 3)
+    x = jax.random.normal(kx, (4, 32, 32, 4), jnp.float32)
+    rna = (jax.random.uniform(kr, (4, 2, 2, 64)) < 0.2
+           ).astype(jnp.float32) * 2
+    t = jnp.array([321], jnp.int32)
+    params5 = jax.jit(lambda k: model5.init(k, x, t, rna, 2, 2))(kp)
+    paramsP = pack_unet_params(
+        jax.tree.map(lambda p: np.asarray(p, np.float32), params5), conf)
+
+    base = PackedTeraUNet(conf)
+    fast = PackedTeraUNet(conf, packed_attn=True)
+    cb, ob = jax.jit(lambda p: base.apply(p, x, t, rna, 2, 2))(paramsP)
+    cf, of = jax.jit(lambda p: fast.apply(p, x, t, rna, 2, 2))(paramsP)
+    tpu = jax.default_backend() in ("tpu", "axon")
+    atol = 5e-3 if tpu else 1e-4
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(cb), atol=atol,
+                               rtol=1e-3 if tpu else 1e-4)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(ob), atol=atol,
+                               rtol=1e-3 if tpu else 1e-4)
+
+
+def test_packed_attn_with_quant():
+    """packed_attn composes with the int8 path (quant_attn): weight/
+    activation quantization is order-free (abs-max over a permutation is
+    identical), so the combined mode must track the plain quant_attn
+    outputs closely."""
+    from tera_mind_tpu.models.unet_packed import (PackedTeraUNet,
+                                                  pack_unet_params)
+    from tera_mind_tpu.ops.quant import prequantize_params
+
+    conf = _tiny_conf()
+    model5 = conf.make_model()
+    kx, kr, kp = jax.random.split(jax.random.PRNGKey(19), 3)
+    x = jax.random.normal(kx, (4, 32, 32, 4), jnp.float32)
+    rna = (jax.random.uniform(kr, (4, 2, 2, 64)) < 0.2
+           ).astype(jnp.float32) * 2
+    t = jnp.array([77], jnp.int32)
+    params5 = jax.jit(lambda k: model5.init(k, x, t, rna, 2, 2))(kp)
+    paramsP = pack_unet_params(
+        jax.tree.map(lambda p: np.asarray(p, np.float32), params5), conf)
+    paramsQ = prequantize_params(paramsP, attn=True)
+
+    a = PackedTeraUNet(conf, quant="int8", prequant=True, quant_attn=True)
+    b = PackedTeraUNet(conf, quant="int8", prequant=True, quant_attn=True,
+                       packed_attn=True)
+    ca, oa = jax.jit(lambda p: a.apply(p, x, t, rna, 2, 2))(paramsQ)
+    cb, ob = jax.jit(lambda p: b.apply(p, x, t, rna, 2, 2))(paramsQ)
+    for u, v in ((ca, cb), (oa, ob)):
+        u, v = np.asarray(u), np.asarray(v)
+        assert np.isfinite(v).all()
+        scale = np.abs(u).max() + 1e-6
+        # int8 rounding can flip on reassociated f32 inputs near .5 —
+        # gate statistically like the other quant-chain tests
+        assert np.mean(np.abs(u - v)) / scale < 5e-3
+        assert np.corrcoef(u.ravel(), v.ravel())[0, 1] > 0.999
