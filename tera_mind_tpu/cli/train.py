@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--packed", action="store_true",
                     help="z-packed compute layout with exact 5D params "
                     "(~40%% faster convs on TPU; checkpoints identical)")
+    ap.add_argument("--packed_attn", action="store_true",
+                    help="with --packed: DiT blocks on the (h,w,z)-token "
+                    "packed layout (reassociation-equivalent; same "
+                    "weight class)")
     args = ap.parse_args()
 
     from ..config import prep_config
@@ -42,6 +46,7 @@ def main():
                        stain=args.stain, nrna=nrna, srna=args.rna_slc,
                        method=args.method, data_path=args.data_path)
     conf.packed_compute = args.packed
+    conf.packed_attn = args.packed_attn
 
     from ..data.dataset import (MerfishTrainDataset, SyntheticDataset,
                                 batches)

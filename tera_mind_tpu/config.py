@@ -75,6 +75,11 @@ class TrainConfig:
     packed_compute: bool = False      # run the z-packed layout with 5D
                                       # params (exact; ~40% faster convs on
                                       # TPU — models/unet_packed.py)
+    packed_attn: bool = False         # with packed_compute: DiT blocks on
+                                      # the (h,w,z)-token packed layout
+                                      # (no per-block pack/unpack
+                                      # transposes; reassociation-
+                                      # equivalent, same weight class)
     mesh_shape: Tuple[int, ...] = (-1,)  # dp mesh by default
     prefetch_depth: int = 2
     sample_every_steps: int = 2500

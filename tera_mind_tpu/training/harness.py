@@ -146,7 +146,9 @@ class Trainer:
             # checkpoints as TeraUNet, ~40% faster convs on TPU
             from ..models.unet_packed import PackedTeraUNet
             self.model = PackedTeraUNet(conf.make_model_conf(),
-                                        from_5d=True)
+                                        from_5d=True,
+                                        packed_attn=getattr(
+                                            conf, "packed_attn", False))
         else:
             self.model = conf.make_model_conf().make_model()
         self.sampler = conf.make_train_sampler()

@@ -270,3 +270,46 @@ def test_packed_attn_with_quant():
         # gate statistically like the other quant-chain tests
         assert np.mean(np.abs(u - v)) / scale < 5e-3
         assert np.corrcoef(u.ravel(), v.ravel())[0, 1] > 0.999
+
+
+def test_packed_attn_from_5d_training_grads():
+    """packed_attn composes with from_5d (the training path): outputs and
+    gradients track the plain from_5d model, so --packed --packed_attn
+    training optimizes the identical reference weight class."""
+    from tera_mind_tpu.models.unet_packed import PackedTeraUNet
+
+    conf = _tiny_conf()
+    base = PackedTeraUNet(conf, from_5d=True)
+    fast = PackedTeraUNet(conf, from_5d=True, packed_attn=True)
+    kx, kr, kp = jax.random.split(jax.random.PRNGKey(23), 3)
+    x = jax.random.normal(kx, (4, 32, 32, 4), jnp.float32)
+    rna = (jax.random.uniform(kr, (4, 2, 2, 64)) < 0.2
+           ).astype(jnp.float32) * 2
+    t = jnp.array([99], jnp.int32)
+    params = jax.jit(lambda k: base.init(k, x, t, rna, 2, 2))(kp)
+    # same init tree (packed_attn adds no params)
+    paramsF = jax.jit(lambda k: fast.init(k, x, t, rna, 2, 2))(kp)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=0), params, paramsF)
+
+    def loss(model):
+        def f(p):
+            c, o = model.apply(p, x, t, rna, 2, 2)
+            return jnp.mean(c ** 2) + jnp.mean(o ** 2)
+        return f
+
+    tpu = jax.default_backend() in ("tpu", "axon")
+    atol = 5e-3 if tpu else 5e-4
+    lb = jax.jit(loss(base))(params)
+    lf = jax.jit(loss(fast))(params)
+    np.testing.assert_allclose(float(lf), float(lb), atol=atol, rtol=1e-4)
+    gb = jax.jit(jax.grad(loss(base)))(params)
+    gf = jax.jit(jax.grad(loss(fast)))(params)
+    flatB = jax.tree_util.tree_leaves_with_path(gb)
+    flatF = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(gf)}
+    for k, vb in flatB:
+        vf = flatF[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            np.asarray(vf), np.asarray(vb), atol=5e-3 if tpu else 1e-3,
+            rtol=5e-3, err_msg=jax.tree_util.keystr(k))
