@@ -80,11 +80,8 @@ def build(tiles: int, chunk: int, block_major: bool, packed: bool = False,
                                packed_attn=os.environ.get(
                                    "BENCH_PACKED_ATTN", "0") == "1")
     # floats -> bf16; keep pre-quantized int8 kernels / f32 scales
-    params = jax.tree_util.tree_map_with_path(
-        lambda kp, p: jnp.asarray(p) if getattr(kp[-1], "key", None)
-        in ("w_scale", "a_scale") or not jnp.issubdtype(
-            jnp.asarray(p).dtype, jnp.floating)
-        else jnp.asarray(p, jnp.bfloat16), params)
+    from tera_mind_tpu.ops.quant import to_inference_dtype
+    params = to_inference_dtype(params)
 
     def model_fn(p, xp, tm, rp, p1, p2):
         return model.apply(p, xp, tm, rp, p1, p2, decode_original=False)

@@ -205,16 +205,9 @@ def main():
                                and not args.no_quant_attn,
                                packed_attn=args.packed_attn)
 
-    def _to_device(path, p):
-        # floats -> bf16, but keep pre-quantized int8 kernels and their
-        # f32 scales exactly as prequantize_params produced them
-        name = getattr(path[-1], "key", None)
-        p = jnp.asarray(p)
-        if name == "w_scale" or not jnp.issubdtype(p.dtype, jnp.floating):
-            return p
-        return p.astype(jnp.bfloat16)
-
-    params = jax.tree_util.tree_map_with_path(_to_device, params)
+    # floats -> bf16, keeping pre-quantized int8 kernels / f32 scales
+    from ..ops.quant import to_inference_dtype
+    params = to_inference_dtype(params)
 
     def model_fn(p, xp, tm, rp, p1, p2):
         # inference uses only the collage decode (base.py:387); params are

@@ -231,6 +231,24 @@ def _path_names(path) -> Tuple:
     return tuple(e.key for e in path if hasattr(e, "key"))
 
 
+def to_inference_dtype(params, dtype=jnp.bfloat16):
+    """Cast float params to the inference compute dtype while preserving
+    the quantization leaves exactly: int8 ``kernel_q`` (non-float),
+    f32 ``w_scale`` and ``a_scale`` (the static path's bit-exactness
+    depends on f32 scale arithmetic).  Safe on non-quantized trees."""
+    import jax
+
+    def cast(kp, p):
+        name = getattr(kp[-1], "key", None)
+        p = jnp.asarray(p)
+        if name in ("w_scale", "a_scale") or \
+                not jnp.issubdtype(p.dtype, jnp.floating):
+            return p
+        return p.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 def make_calibrating_model_fn(model, accum: dict):
     """Wrap a dynamic-quant ``PackedTeraUNet(quant='int8')`` into a
     TeraGenerator-compatible ``model_fn(params, x, t, rna, p1, p2)`` that
