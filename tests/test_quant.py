@@ -639,3 +639,27 @@ def test_quant_attn_chain_quality_static():
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
     assert abs(a.mean() - b.mean()) < 0.01
     assert abs(a.std() - b.std()) / a.std() < 0.02
+
+
+def test_to_inference_dtype_preserves_quant_leaves():
+    """floats -> bf16 but int8 kernels and f32 w_scale/a_scale survive
+    (static-path bit-exactness depends on f32 scale arithmetic)."""
+    from tera_mind_tpu.ops.quant import (prequantize_params,
+                                         to_inference_dtype)
+
+    tree = {"params": {
+        "enc_1_res": {"in_conv": {"kernel": jnp.ones((3, 3, 4, 8)),
+                                  "bias": jnp.zeros((8,))}},
+        "stem": {"kernel": jnp.ones((3, 3, 4, 8)),
+                 "bias": jnp.zeros((8,))}}}
+    q = prequantize_params(tree)
+    q["params"]["enc_1_res"]["in_conv"]["a_scale"] = \
+        jnp.float32(0.01234567)
+    c = to_inference_dtype(q)
+    conv = c["params"]["enc_1_res"]["in_conv"]
+    assert conv["kernel_q"].dtype == jnp.int8
+    assert conv["w_scale"].dtype == jnp.float32
+    assert conv["a_scale"].dtype == jnp.float32
+    assert float(conv["a_scale"]) == float(np.float32(0.01234567))
+    assert conv["bias"].dtype == jnp.bfloat16
+    assert c["params"]["stem"]["kernel"].dtype == jnp.bfloat16
