@@ -39,7 +39,9 @@ def run(packed: bool, batch: int, accum: int, steps: int) -> float:
     conf.dropout = 0.1
 
     model5 = conf.make_model_conf().make_model()
-    model = PackedTeraUNet(conf.make_model_conf(), from_5d=True) \
+    model = PackedTeraUNet(conf.make_model_conf(), from_5d=True,
+                           packed_attn=os.environ.get(
+                               "BENCH_PACKED_ATTN", "0") == "1") \
         if packed else model5
     sampler = conf.make_train_sampler()
     optimizer = make_optimizer(conf)
