@@ -129,6 +129,20 @@ def op_breakdown(logdir: str, top: int = 25) -> None:
     for t, us in by_type.most_common(15):
         print(f"{us/1e3:9.2f} ms {100*us/tot:6.2f}%  {t}")
     print(f"device total: {tot/1e3:.1f} ms")
+    # scope attribution: the framework op name carries the jax name stack
+    # (flax module path), so substring matching groups time by subsystem —
+    # used to size the rna-tower hoisting opportunity (it is timestep-
+    # invariant and recomputed every step)
+    scopes = ("rna_tower", "gene_attn", "_attn/", "time_embed")
+    by_scope = collections.Counter()
+    for us, _t, n in items:
+        for s in scopes:
+            if s in n:
+                by_scope[s] += us
+                break
+    print("== device self time by name scope ==")
+    for s, us in by_scope.most_common():
+        print(f"{us/1e3:9.2f} ms {100*us/tot:6.2f}%  {s}")
     print("== top ops ==")
     items.sort(reverse=True)
     for us, t, n in items[:top]:

@@ -1,9 +1,14 @@
-"""Flax InceptionV3 architecture checks (weights convert from the NVlabs
-torchscript export when available; numerics golden-test needs that file)."""
+"""Flax InceptionV3 checks: architecture/converter shape tests, plus a
+NUMERICS cross-check against a live randomly-initialized
+``torchvision.models.inception_v3`` (the NVlabs torchscript export shares
+torchvision's module layout, reference feat_mba.py:29-92; the weight FILES
+are unavailable here, but the arithmetic — conv padding, BN eval semantics,
+pooling — is proven equal against real torch)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def test_inception_features_shape_and_params():
@@ -63,3 +68,43 @@ def test_convert_torch_inception_mapping():
         for kk in key:
             node = node[kk.key]
         assert node.shape == val.shape, key
+
+
+def test_inception_numerics_match_live_torch():
+    """Forward parity vs live torch: a randomly-initialized torch replica of
+    the torchvision/NVlabs InceptionV3 backbone (tests/inception_torch_replica
+    — torchvision is not installed here), state converted with
+    ``convert_torch_inception``, features through Mixed_7c + global avg pool
+    compared.
+
+    ``fid_variant=False`` selects torchvision pooling semantics
+    (include-pad avg pools, avg pool in Mixed_7c); the NVlabs FID variant
+    differs only in those pooling flags (metrics/inception.py), so this
+    pins every conv/BN/concat path the FID extractor uses."""
+    torch = pytest.importorskip("torch")
+
+    from inception_torch_replica import build_torch_inception
+
+    from tera_mind_tpu.metrics.inception import (InceptionV3Features,
+                                                 convert_torch_inception)
+
+    m = build_torch_inception(seed=0)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 299, 299, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        want = m(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    npar = {k: v.detach().numpy() for k, v in m.named_parameters()}
+    nbuf = {k: v.detach().numpy() for k, v in m.named_buffers()
+            if "num_batches_tracked" not in k}
+    variables = convert_torch_inception(npar, nbuf)
+    model = InceptionV3Features(fid_variant=False)
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    assert got.shape == want.shape == (2, 2048)
+    scale = float(np.abs(want).mean())
+    mae = float(np.abs(got - want).mean())
+    assert mae <= 1e-4 * max(scale, 1.0), (mae, scale)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-4)
