@@ -137,10 +137,11 @@ def run_stream(tiles: int, steps: int = 3, block: int = 2,
         gen = TeraGenerator(sampler, model_fn, gconf, params=params)
 
     tdt = os.environ.get("STREAM_TRANSFER_DTYPE", "bfloat16")
+    spw = int(os.environ.get("STREAM_K", "1"))  # temporal halo blocking
     sgen = StreamingGenerator(gen, StreamConfig(
         block_rows=block, block_cols=block, progress=False,
         block_major=True, gene_cache_windows=4,
-        transfer_dtype=tdt,
+        transfer_dtype=tdt, steps_per_window=spw,
         pipeline=os.environ.get("STREAM_PIPELINE", "1") == "1"))
 
     # warm-up run (compile) on a block-sized grid
@@ -155,6 +156,8 @@ def run_stream(tiles: int, steps: int = 3, block: int = 2,
         "value": round(rate, 5), "unit": "tiles/s/chip",
         "grid": f"{tiles}x{tiles}", "mode": f"stream-{block}x{block}",
         **({"quant": quant} if quant else {}),
+        **({"steps_per_window": spw} if spw > 1 else {}),
+        "steps": steps,
         "transfer_dtype": tdt,
         "window_chunk": gconf.window_chunk,
         "vs_baseline": round(rate / (118404 / (604800.0 * 8)), 2),
@@ -165,6 +168,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", default="2,4,8,16")
     ap.add_argument("--stream", type=int, default=16)
+    ap.add_argument("--stream_steps", type=int, default=3)
+    ap.add_argument("--stream_block", type=int, default=2)
     ap.add_argument("--skip_inhbm", action="store_true")
     ap.add_argument("--quant", default="",
                     choices=("", "int8", "int8_static"))
@@ -173,7 +178,8 @@ def main():
         for tiles in [int(t) for t in args.points.split(",") if t]:
             run_inhbm(tiles, quant=args.quant)
     if args.stream:
-        run_stream(args.stream, quant=args.quant)
+        run_stream(args.stream, steps=args.stream_steps,
+                   block=args.stream_block, quant=args.quant)
 
 
 if __name__ == "__main__":

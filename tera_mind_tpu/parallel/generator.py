@@ -252,6 +252,20 @@ class TeraGenerator:
         Returns (R*tile, C*tile, channels).
         """
         c = self.conf
+        nb, hb = c.tile // c.gn_blk, c.pad // c.gn_blk
+        assert c.pad % c.gn_blk == 0, (c.pad, c.gn_blk)
+        g = assemble_bins(gene_tiles, nb, hb)    # (GH, GW, z_pad, G)
+        return self._window_update_bins(params, padded, g, t)
+
+    def _window_update_bins(self, params, padded: jnp.ndarray,
+                            bin_grid: jnp.ndarray, t: jnp.ndarray
+                            ) -> jnp.ndarray:
+        """Core of :meth:`_window_update` with the gene bin grid already
+        assembled: ``bin_grid`` must cover exactly the padded extent
+        (padded.shape[i] // gn_blk bins along axis i).  Used directly by the
+        multi-step streaming path, which assembles one larger bin grid per
+        visit and crops it per inner step."""
+        c = self.conf
         mf = lambda *a: self._apply(params, *a)
         hp, wp = padded.shape[:2]
         H, W = hp - 2 * c.pad, wp - 2 * c.pad
@@ -261,11 +275,10 @@ class TeraGenerator:
         x = x.transpose(3, 0, 1, 2, 4).reshape(c.n_win, hp, wp,
                                                c.stains * c.zi)
 
-        # one padded global bin grid for the block (uint8 until sliced)
-        nb, hb = c.tile // c.gn_blk, c.pad // c.gn_blk
-        assert c.pad % c.gn_blk == 0, (c.pad, c.gn_blk)
-        g = assemble_bins(gene_tiles, nb, hb)    # (GH, GW, z_pad, G)
+        g = bin_grid                             # (GH, GW, z_pad, G)
         GH, GW = g.shape[:2]
+        assert GH == hp // c.gn_blk and GW == wp // c.gn_blk, \
+            (GH, GW, hp, wp, c.gn_blk)
 
         chunk = self.conf.window_chunk or c.n_win
         assert c.n_win % chunk == 0, (c.n_win, chunk)

@@ -104,9 +104,11 @@ class HostState:
         out[sh0 - h0: sh1 - h0, sw0 - w0: sw1 - w0] = \
             self.read[sh0:sh1, sw0:sw1]
         if ghost_top is not None and h0 < 0:
-            # rows [h0, 0) come from the upper band's bottom edge
+            # rows [h0, 0) come from the upper band's bottom edge (the
+            # ghost strip covers [-len(ghost_top), 0), which may be larger
+            # than this window's pad in multi-step mode)
             out[: -h0, sw0 - w0: sw1 - w0] = \
-                ghost_top[h0 + pad:, sw0:sw1]
+                ghost_top[ghost_top.shape[0] + h0:, sw0:sw1]
         if ghost_bot is not None and h1 > self.rows * t:
             over = h1 - self.rows * t
             out[-over:, sw0 - w0: sw1 - w0] = ghost_bot[:over, sw0:sw1]
@@ -145,6 +147,19 @@ class StreamConfig:
                                  # dispatch).  Results are identical —
                                  # windows write disjoint regions and read
                                  # the immutable read buffer.
+    steps_per_window: int = 1    # temporal halo blocking: advance K DDIM
+                                 # steps per window visit using an enlarged
+                                 # halo of pad + patch*(K-1) px, shrinking
+                                 # the window by `patch` px per side per
+                                 # inner step (keeps every inner patch grid
+                                 # on the reference protocol's alignment).
+                                 # Bit-exact vs K=1 (tests), cuts the
+                                 # dominant host<->device state traffic ~K
+                                 # times for a modest recompute overlap.
+                                 # Requires field-consistent gene halos
+                                 # (overlapping bins of neighboring tiles
+                                 # agree — true for real data).  K=1 is
+                                 # the plain one-step protocol.
 
 
 class StreamingGenerator:
@@ -168,9 +183,23 @@ class StreamingGenerator:
         self.devices = devices
         # one compiled program per run: window denoise at fixed shape
         self._window_fn = jax.jit(self._window_step)
+        # temporal-blocking variants, jitted per inner-step count k
+        self._ms_fns = {}
+        if sconf.steps_per_window > 1:
+            if c.patch * (sconf.steps_per_window - 1) > c.tile + c.pad:
+                raise ValueError(
+                    f"steps_per_window={sconf.steps_per_window} needs a gene"
+                    f" halo of {c.pad + c.patch * (sconf.steps_per_window - 1)}"
+                    f" px; one neighbor-tile ring provides at most"
+                    f" {c.tile + c.pad} px (max K = tile//patch + 1)")
         if devices:
             self._dev_params = {d: jax.device_put(gen.params, d)
                                 for d in devices}
+
+    def _halo_px(self, k: int) -> int:
+        """Input halo (px) a k-step window visit needs."""
+        c = self.gen.conf
+        return c.pad + c.patch * (k - 1)
 
     # ---- device step over one halo-padded window ----------------------
     def _window_step(self, params, padded: jnp.ndarray,
@@ -196,6 +225,62 @@ class StreamingGenerator:
         return tiles.transpose(0, 2, 1, 3, 4).reshape(
             br * c.tile, bc * c.tile, c.channels).astype(out_dt)
 
+    # ---- temporal halo blocking: k steps per window visit ---------------
+    def _multistep_window(self, params, padded: jnp.ndarray,
+                          bin_grid: jnp.ndarray, t0: jnp.ndarray,
+                          oy: jnp.ndarray, ox: jnp.ndarray, *, k: int,
+                          bounds: tuple) -> jnp.ndarray:
+        """Advance ``k`` DDIM steps on one window (trapezoid time-tiling).
+
+        padded:   (B + 2*halo, ...) window where halo = pad + patch*(k-1);
+                  its interior B px come out valid at t0-k.
+        bin_grid: gene bins covering exactly the padded extent.
+        oy/ox:    grid-local px origin of ``padded`` — can be negative at
+                  grid borders; pixels outside ``bounds`` (the REAL data
+                  extent: (ylo, yhi, xlo, xhi) in local px — extends past
+                  the local band when neighbor bands exist) are re-pinned
+                  to the protocol's -1 fill before EVERY inner step (the
+                  reference refills the halo each epoch,
+                  MBADataset_tst.py:95).
+
+        Why this is exact (not an approximation): one protocol step's
+        output pixel depends only on inputs within its own 64-px patch and
+        the neighbor patch overlapping its shifted collage patch — i.e.
+        entirely inside a window whose patch grid ALIGNS with the
+        reference's (global coords ≡ pad mod patch).  Each inner step
+        consumes the 2*pad border of its window and then crops a further
+        2*pad so the next window's patch grid stays aligned; after k steps
+        the surviving interior has only ever read protocol-exact values.
+        """
+        c = self.gen.conf
+        p, pad, gb = c.patch, c.pad, c.gn_blk
+        bshift = p // gb
+        out_dt = getattr(jnp, self.sconf.transfer_dtype)
+        x = padded.astype(jnp.float32)
+        n0 = bin_grid.shape[0]
+        m0 = bin_grid.shape[1]
+        for j in range(k):
+            H, W = x.shape[:2]
+            gy = oy + p * j + jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+            gx = ox + p * j + jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+            outside = ((gy < bounds[0]) | (gy >= bounds[1]) |
+                       (gx < bounds[2]) | (gx >= bounds[3]))
+            x = jnp.where(outside[:, :, None], -1.0, x)
+            bins_j = bin_grid[j * bshift: n0 - j * bshift,
+                              j * bshift: m0 - j * bshift]
+            core = self.gen._window_update_bins(params, x, bins_j,
+                                                t0 - j)
+            x = core if j == k - 1 else core[pad:-pad, pad:-pad]
+        return x.astype(out_dt)
+
+    def _ms_fn(self, k: int, bounds: tuple):
+        key = (k, bounds)
+        if key not in self._ms_fns:
+            import functools
+            self._ms_fns[key] = jax.jit(functools.partial(
+                self._multistep_window, k=k, bounds=bounds))
+        return self._ms_fns[key]
+
     # ---- init ----------------------------------------------------------
     def init_state(self, state: HostState, *, row0: int = 1, col0: int = 1,
                    grid_w: int = 416) -> None:
@@ -218,21 +303,34 @@ class StreamingGenerator:
             checkpoint: Optional[StateCheckpoint] = None,
             state: Optional[HostState] = None,
             start_t: Optional[int] = None,
-            strip_exchange=None) -> HostState:
+            strip_exchange=None,
+            rows_above: int = 0, rows_below: int = 0) -> HostState:
         """``state``+``start_t`` resume from an explicit timestep (the
         reference's --cur_epoch); otherwise the latest spill (if any).
 
         Band-parallel mode: ``rows`` is this process's BAND of the global
         grid (``row0`` its absolute first tile row) and ``strip_exchange``
         a :class:`~tera_mind_tpu.parallel.band.StripExchange` — after every
-        timestep each band trades its ``pad`` edge rows with its neighbor
-        bands, which feed the next step's halos (parallel/band.py)."""
+        visit each band trades its top/bottom edge rows (``pad`` px, or
+        ``pad + patch*(K-1)`` with temporal blocking — size the
+        StripExchange accordingly) with its neighbor bands, which feed the
+        next visit's halos (parallel/band.py).  ``rows_above``/``rows_below``
+        say how many tile rows of REAL data exist beyond this band (so the
+        multi-step border mask only pins truly-out-of-grid pixels, and the
+        gene provider is consulted for the cross-band neighbor-tile ring —
+        it must accept r in [-1, rows] there)."""
         c = self.gen.conf
         s = self.sconf
         br = min(s.block_rows, rows)
         bc = min(s.block_cols, cols)
         provider = _as_provider(gene)
         T = self.gen.sampler.schedule.num_timesteps
+        K = s.steps_per_window
+        if strip_exchange is not None and self._halo_px(K) > rows * c.tile:
+            raise ValueError(
+                f"band of {rows} tile rows is shorter than the "
+                f"{self._halo_px(K)}-px ghost strip steps_per_window={K} "
+                f"needs")
         if state is not None and start_t is None:
             # an explicit state with no timestep would silently restart the
             # whole reverse process from T on top of it (round-1 VERDICT
@@ -275,6 +373,12 @@ class StreamingGenerator:
         from collections import OrderedDict
         gene_cache: OrderedDict = OrderedDict()
 
+        def _cache_put(key, blk):
+            gene_cache[key] = blk
+            if s.gene_cache_windows and len(gene_cache) > s.gene_cache_windows:
+                gene_cache.popitem(last=False)
+            return blk
+
         def gene_block(r0: int, c0: int) -> np.ndarray:
             key = (r0, c0)
             if key in gene_cache:
@@ -284,11 +388,51 @@ class StreamingGenerator:
             # global store should bake its own offsets into the closure
             tiles = [[provider(r0 + i, c0 + j)
                       for j in range(bc)] for i in range(br)]
-            blk = np.stack([np.stack(row) for row in tiles])
-            gene_cache[key] = blk
-            if s.gene_cache_windows and len(gene_cache) > s.gene_cache_windows:
-                gene_cache.popitem(last=False)
-            return blk
+            return _cache_put(key, np.stack([np.stack(row)
+                                             for row in tiles]))
+
+        nb, hb = c.tile // c.gn_blk, c.pad // c.gn_blk
+
+        def gene_block_ext(r0: int, c0: int, k: int) -> np.ndarray:
+            """Assembled bin grid covering the k-step padded window
+            (B + 2*(pad + patch*(k-1)) px): the core tiles plus whatever
+            of the one-tile neighbor ring is inside the grid; out-of-grid
+            bins stay zero (they only ever condition pixels that the
+            border mask re-pins to -1 before they can propagate inward).
+            Paste order ring-then-core so the grid-border ring keeps the
+            border tiles' own halo bins, exactly like
+            :func:`~..generator.assemble_bins` on the core alone."""
+            key = (r0, c0, k)
+            if key in gene_cache:
+                gene_cache.move_to_end(key)
+                return gene_cache[key]
+            Hb = self._halo_px(k) // c.gn_blk
+            gh, gw = br * nb + 2 * Hb, bc * nb + 2 * Hb
+            canvas = None
+            core = [(i, j) for i in range(br) for j in range(bc)]
+            ring = [(i, j) for i in range(-1, br + 1)
+                    for j in range(-1, bc + 1) if (i, j) not in core]
+            r_lo = -1 if rows_above else 0
+            r_hi = rows + (1 if rows_below else 0)
+            for i, j in ring + core:
+                ti, tj = r0 + i, c0 + j
+                if not (r_lo <= ti < r_hi and 0 <= tj < cols):
+                    continue
+                arr = np.asarray(provider(ti, tj))
+                if canvas is None:
+                    canvas = np.zeros((gh, gw) + arr.shape[2:], arr.dtype)
+                # tile bins live at [i*nb - hb, i*nb + nb + hb) relative to
+                # the block; the canvas starts at -Hb
+                oy, ox = i * nb - hb + Hb, j * nb - hb + Hb
+                sy0, sx0 = max(0, -oy), max(0, -ox)
+                sy1 = min(arr.shape[0], gh - oy)
+                sx1 = min(arr.shape[1], gw - ox)
+                if sy0 >= sy1 or sx0 >= sx1:
+                    continue
+                canvas[oy + sy0: oy + sy1, ox + sx0: ox + sx1] = \
+                    arr[sy0:sy1, sx0:sx1]
+            assert canvas is not None, "empty gene window"
+            return _cache_put(key, canvas)
 
         windows = [(r0, c0) for r0 in r_orig for c0 in c_orig]
 
@@ -300,7 +444,7 @@ class StreamingGenerator:
         def exchange_ghosts():
             if strip_exchange is None:
                 return
-            p = self._pad
+            p = self._halo_px(K)
             ghosts[0], ghosts[1] = strip_exchange(
                 np.ascontiguousarray(state.read[:p]),
                 np.ascontiguousarray(state.read[-p:]))
@@ -308,27 +452,41 @@ class StreamingGenerator:
         exchange_ghosts()
 
         tdt = np.dtype(getattr(jnp, self.sconf.transfer_dtype))
+        cur = {"t": start_t - 1, "k": 1}  # the active visit, read by
+        #                                   dispatch_window at call time
 
         def dispatch_window(r0: int, c0: int, device=None):
             """Assemble + enqueue one window; returns the (async) device
             output with its destination.  jax dispatch returns before the
             compute finishes, so the caller can overlap the next window's
             host-side assembly with this one's transfer + compute."""
-            padded = state.padded_window(r0, c0, br, bc, self._pad,
-                                         ghost_top=ghosts[0],
-                                         ghost_bot=ghosts[1])
-            if tdt != np.float32:
-                padded = padded.astype(tdt)  # halve the H2D bytes
-            gb = gene_block(r0, c0)
-            if device is None:
-                out = self._window_fn(self.gen.params, jnp.asarray(padded),
-                                      jnp.asarray(gb), jnp.int32(t))
+            t0, k = cur["t"], cur["k"]
+            if k == 1:
+                padded = state.padded_window(r0, c0, br, bc, self._pad,
+                                             ghost_top=ghosts[0],
+                                             ghost_bot=ghosts[1])
+                if tdt != np.float32:
+                    padded = padded.astype(tdt)  # halve the H2D bytes
+                fn, args = self._window_fn, (padded, gene_block(r0, c0),
+                                             np.int32(t0))
             else:
-                out = self._window_fn(
-                    self._dev_params[device],
-                    jax.device_put(padded, device),
-                    jax.device_put(gb, device),
-                    jax.device_put(np.int32(t), device))
+                halo = self._halo_px(k)
+                padded = state.padded_window(r0, c0, br, bc, halo,
+                                             ghost_top=ghosts[0],
+                                             ghost_bot=ghosts[1])
+                if tdt != np.float32:
+                    padded = padded.astype(tdt)
+                fn = self._ms_fn(k, (-rows_above * c.tile,
+                                     (rows + rows_below) * c.tile,
+                                     0, cols * c.tile))
+                args = (padded, gene_block_ext(r0, c0, k), np.int32(t0),
+                        np.int32(r0 * c.tile - halo),
+                        np.int32(c0 * c.tile - halo))
+            if device is None:
+                out = fn(self.gen.params, *map(jnp.asarray, args))
+            else:
+                out = fn(self._dev_params[device],
+                         *(jax.device_put(a, device) for a in args))
             return out, r0, c0
 
         def fetch_window(pending) -> None:
@@ -346,7 +504,11 @@ class StreamingGenerator:
             from concurrent.futures import ThreadPoolExecutor
             pool = ThreadPoolExecutor(len(self.devices))
 
-        for t in range(start_t - 1, -1, -1):
+        t = start_t - 1
+        prev_epoch = T - start_t  # epochs completed before this run
+        while t >= 0:
+            k = min(K, t + 1)
+            cur["t"], cur["k"] = t, k
             if pool is None:
                 dev = self.devices[0] if self.devices else None
                 if self.sconf.pipeline:
@@ -371,16 +533,21 @@ class StreamingGenerator:
                     f.result()
             state.swap()
             exchange_ghosts()
-            epoch = T - t
+            t_last = t - k + 1        # deepest timestep just completed
+            epoch = T - t_last        # epochs completed
             if s.progress:
-                print(f"[stream] step t={t} done ({epoch}/{T})", flush=True)
+                span = f"t={t}" if k == 1 else f"t={t}..{t_last}"
+                print(f"[stream] step {span} done ({epoch}/{T})", flush=True)
             if checkpoint is not None and s.checkpoint_every and \
-                    (epoch % s.checkpoint_every == 0) and t > 0:
+                    t_last > 0 and (epoch // s.checkpoint_every >
+                                    prev_epoch // s.checkpoint_every):
                 grid = state.read.reshape(rows, c.tile, cols, c.tile,
                                           c.channels).transpose(0, 2, 1, 3, 4)
                 checkpoint.save_grid(epoch, grid, hst=row0 * c.tile,
                                      wst=col0 * c.tile, size=c.tile)
                 checkpoint.prune(keep_t=epoch)
+            prev_epoch = epoch
+            t -= k
         if pool is not None:
             pool.shutdown()
         return state
