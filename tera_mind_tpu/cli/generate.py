@@ -99,6 +99,11 @@ def main():
                     "device (grids larger than HBM; parallel/streaming.py)")
     ap.add_argument("--stream_block", type=int, default=2,
                     help="tiles per streamed device window (per side)")
+    ap.add_argument("--stream_k", type=int, default=1,
+                    help="temporal halo blocking: DDIM steps per window "
+                    "visit (exact; cuts the host<->device state traffic "
+                    "~K-fold at the cost of an enlarged window halo; "
+                    "max tile//patch + 1)")
     ap.add_argument("--stream_memmap", type=str, default=None,
                     help="disk-back the host state (beyond-RAM grids)")
     ap.add_argument("--stream_dtype", default="float32",
@@ -245,7 +250,7 @@ def main():
         gdir = Path(args.data_path or f"Data/MERFISH_50/gene_{args.mouse}")
         import functools
 
-        @functools.lru_cache(maxsize=4 * args.stream_block ** 2)
+        @functools.lru_cache(maxsize=4 * (args.stream_block + 2) ** 2)
         def gene(r: int, c: int) -> np.ndarray:
             h0 = args.hst + r * 256
             w0 = args.wst + c * 256
@@ -310,11 +315,13 @@ def main():
                                           StreamingGenerator)
         strip_ex = None
         gene_band = gene
+        ghost_px = gconf.pad + gconf.patch * (args.stream_k - 1)
         if nproc > 1:
             # band-parallel: this process streams a row band; edge strips
-            # ppermute between neighbor bands every timestep
+            # ppermute between neighbor bands every visit (K-step visits
+            # need proportionally wider strips)
             from ..parallel.band import StripExchange
-            strip_ex = StripExchange(gconf.pad, cols * gconf.tile,
+            strip_ex = StripExchange(ghost_px, cols * gconf.tile,
                                      gconf.channels)
             gene_band = lambda r, c: gene(band_r0 + r, c)
         sgen = StreamingGenerator(gen, StreamConfig(
@@ -322,6 +329,7 @@ def main():
             checkpoint_every=args.ckpt_every,
             memmap_dir=args.stream_memmap,
             block_major=not args.tile_major,
+            steps_per_window=args.stream_k,
             transfer_dtype=args.stream_dtype),
             devices=jax.local_devices() if jax.local_device_count() > 1
             else None)
@@ -334,7 +342,9 @@ def main():
                           row0=row0 + band_r0, col0=col0,
                           grid_w=416, checkpoint=ck, state=hstate,
                           start_t=start_t if hstate is not None else None,
-                          strip_exchange=strip_ex)
+                          strip_exchange=strip_ex,
+                          rows_above=band_r0,
+                          rows_below=rows - band_r0 - band_rows)
         out = np.asarray(hstate.read)
     else:
         out = gen.run(gene, rows=rows, cols=cols, row0=row0, col0=col0,

@@ -52,11 +52,23 @@ def leaky_model_fn(xp, tm, rp, p1, p2):
 
 def gene_provider(r: int, c: int) -> np.ndarray:
     """Deterministic per-tile gene stack (provider-fed: called lazily,
-    per process, only for that process's shards)."""
+    per process, only for that process's shards).
+
+    Values are a pure function of GLOBAL bin coordinates so neighboring
+    tiles' overlap bins agree — the invariant real MERFISH tiles have and
+    the K>1 extended gene ring assembly relies on (per-tile independent
+    noise would desync halo bins sourced from different tiles)."""
     g = _gconf()
-    rng = np.random.default_rng(100003 * r + c)
-    return rng.integers(0, 3, (g.gsz, g.gsz, g.z_pad, g.gdim)).astype(
-        np.uint8)
+    nb, hb = g.tile // g.gn_blk, g.pad // g.gn_blk
+    ys = np.arange(r * nb - hb, r * nb + nb + hb, dtype=np.int64)
+    xs = np.arange(c * nb - hb, c * nb + nb + hb, dtype=np.int64)
+    yy = ys[:, None, None, None]
+    xx = xs[None, :, None, None]
+    zz = np.arange(g.z_pad, dtype=np.int64)[None, None, :, None]
+    gg = np.arange(g.gdim, dtype=np.int64)[None, None, None, :]
+    h = (yy * 73856093 ^ xx * 19349663 ^ zz * 83492791 ^ gg * 40503) \
+        & 0xFFFFFFFF
+    return (((h % 100) < 20) * (1 + (h >> 16) % 3)).astype(np.uint8)
 
 
 def _gconf():
@@ -213,6 +225,23 @@ def main(argv=None) -> None:
     print(f"[mp_demo] process {args.process_id} band-streaming ok "
           f"(rows {r0_band}..{r0_band + n_band}, max|diff|={err2:.2e})",
           flush=True)
+
+    # same, with temporal halo blocking (steps_per_window=2): ghost strips
+    # widen to pad + patch px and cross-band gene rows feed the enlarged
+    # window halo — the cli.generate --stream_k wiring, cross-process
+    ex2 = StripExchange(g.pad + g.patch, cols * g.tile, g.channels)
+    sgen2 = StreamingGenerator(_make_gen(None), StreamConfig(
+        progress=False, steps_per_window=2))
+    hstate2 = sgen2.run(
+        n_band, cols,
+        lambda r, c: gene_provider(r0_band + r, c),
+        row0=1 + r0_band, col0=1, grid_w=16, strip_exchange=ex2,
+        rows_above=r0_band, rows_below=rows - r0_band - n_band)
+    err3 = float(np.abs(np.asarray(hstate2.read) - want).max())
+    assert err3 < 1e-5, \
+        f"process {args.process_id} K=2 streaming band mismatch: {err3}"
+    print(f"[mp_demo] process {args.process_id} band-streaming K2 ok "
+          f"(max|diff|={err3:.2e})", flush=True)
 
     # ---- multi-process data-parallel TRAINING (reference Lightning DDP,
     # experiment.py:485): per-process batch shards assembled with

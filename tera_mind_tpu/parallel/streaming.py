@@ -31,6 +31,8 @@ loop's working set in host memory, not thousands of zarr files):
 from __future__ import annotations
 
 import dataclasses
+import os
+import time
 from pathlib import Path
 from typing import Callable, Optional, Union
 
@@ -455,12 +457,21 @@ class StreamingGenerator:
         cur = {"t": start_t - 1, "k": 1}  # the active visit, read by
         #                                   dispatch_window at call time
 
+        # TMT_STREAM_TIMING=1: per-phase wall-time breakdown (host halo
+        # assembly / H2D / device queue / D2H), printed at the end of the
+        # run.  Adds sync points, so the pipeline overlap is disabled while
+        # measuring — use it to find the bottleneck, not to bench.
+        tim = ({"asm": 0.0, "h2d": 0.0, "disp": 0.0, "queue": 0.0,
+                "d2h": 0.0, "n": 0}
+               if os.environ.get("TMT_STREAM_TIMING") else None)
+
         def dispatch_window(r0: int, c0: int, device=None):
             """Assemble + enqueue one window; returns the (async) device
             output with its destination.  jax dispatch returns before the
             compute finishes, so the caller can overlap the next window's
             host-side assembly with this one's transfer + compute."""
             t0, k = cur["t"], cur["k"]
+            tw0 = time.perf_counter() if tim is not None else 0.0
             if k == 1:
                 padded = state.padded_window(r0, c0, br, bc, self._pad,
                                              ghost_top=ghosts[0],
@@ -482,7 +493,18 @@ class StreamingGenerator:
                 args = (padded, gene_block_ext(r0, c0, k), np.int32(t0),
                         np.int32(r0 * c.tile - halo),
                         np.int32(c0 * c.tile - halo))
-            if device is None:
+            if tim is not None:
+                tim["asm"] += time.perf_counter() - tw0
+                tw0 = time.perf_counter()
+                dargs = [jax.device_put(a, device) for a in args]
+                jax.block_until_ready(dargs)
+                tim["h2d"] += time.perf_counter() - tw0
+                tim["n"] += 1
+                tw0 = time.perf_counter()
+                out = fn(self.gen.params if device is None
+                         else self._dev_params[device], *dargs)
+                tim["disp"] += time.perf_counter() - tw0
+            elif device is None:
                 out = fn(self.gen.params, *map(jnp.asarray, args))
             else:
                 out = fn(self._dev_params[device],
@@ -491,6 +513,13 @@ class StreamingGenerator:
 
         def fetch_window(pending) -> None:
             out, r0, c0 = pending
+            if tim is not None:
+                tq0 = time.perf_counter()
+                jax.block_until_ready(out)
+                tim["queue"] += time.perf_counter() - tq0
+                tq0 = time.perf_counter()
+                out = np.asarray(out)
+                tim["d2h"] += time.perf_counter() - tq0
             ht, wt = r0 * c.tile, c0 * c.tile
             state.write[ht: ht + br * c.tile,
                         wt: wt + bc * c.tile] = \
@@ -550,4 +579,9 @@ class StreamingGenerator:
             t -= k
         if pool is not None:
             pool.shutdown()
+        if tim is not None and tim["n"]:
+            phases = {k2: v for k2, v in tim.items() if k2 != "n"}
+            print(f"[stream timing] windows={tim['n']} " +
+                  " ".join(f"{k2}={v:.2f}s" for k2, v in phases.items()) +
+                  f" total={sum(phases.values()):.2f}s", flush=True)
         return state

@@ -49,6 +49,8 @@ def test_two_process_generation_matches_single_device():
         assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
         assert f"[mp_demo] process {i}/2 ok" in out, out[-3000:]
         assert f"[mp_demo] process {i} band-streaming ok" in out, out[-3000:]
+        assert f"[mp_demo] process {i} band-streaming K2 ok" in out, \
+            out[-3000:]
 
     # multi-process dp TRAINING loss history == single-process reference
     ref = subprocess.run(
