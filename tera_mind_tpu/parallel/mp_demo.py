@@ -161,6 +161,10 @@ def main(argv=None) -> None:
     ap.add_argument("--num_processes", type=int, default=None)
     ap.add_argument("--process_id", type=int, default=None)
     ap.add_argument("--tiles_per_device", type=int, default=2)
+    ap.add_argument("--fast", action="store_true",
+                    help="dryrun mode: only the in-HBM multi-process "
+                    "generation check (band streaming / K=2 / dp training "
+                    "variants are covered by tests/test_multiprocess.py)")
     args = ap.parse_args(argv)
 
     if args.train_ref:
@@ -205,6 +209,9 @@ def main(argv=None) -> None:
     print(f"[mp_demo] process {args.process_id}/{args.num_processes} ok "
           f"(band offset {(h0, w0)}, local {local.shape}, max|diff|={err:.2e})",
           flush=True)
+
+    if args.fast:
+        return
 
     # ---- band-parallel host-streaming mode (parallel/band.py): each
     # process streams a row band, neighbor edge strips ppermuted per step
