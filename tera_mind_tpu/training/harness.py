@@ -280,6 +280,54 @@ class Trainer:
         Image.fromarray(np.concatenate(rows, axis=0)).save(path)
         return str(path)
 
+    def shape_batch(self, b: dict) -> dict:
+        """Split the loader's (effective) batch into ``accum`` microbatches;
+        clamp so a batch smaller than accum_batches still trains (one sample
+        per microbatch) instead of producing empty means.
+
+        Multi-process: the iterator yields this process's LOCAL shard of the
+        global batch (reference DistributedSampler semantics,
+        config.py:261-266); shapes below are per-process, assembled into the
+        global array with make_array_from_process_local_data.
+        """
+        conf = self.conf
+        nproc = jax.process_count()
+        img, rna = b["image"], b["rna"]
+        glob = img.shape[0] * nproc
+        a = max(1, min(conf.accum_batches, glob))
+        micro = glob // a
+        if self.mesh is not None:
+            # (global) microbatch must tile the dp axis evenly
+            ndp = self.mesh.devices.size
+            assert glob >= ndp, f"batch {glob} < dp devices {ndp}"
+            micro = micro // ndp * ndp
+            if micro == 0:
+                micro = ndp
+                a = max(1, glob // micro)
+        loc = a * micro // nproc
+        if loc < img.shape[0]:
+            # reference asserts global-batch divisibility instead
+            # (experiment.py:98-105); we train on the largest tiling
+            # prefix but must not LOSE samples silently
+            import warnings
+            warnings.warn(
+                f"train batch of {img.shape[0]} local samples does not "
+                f"tile accum({a}) x dp; dropping "
+                f"{img.shape[0] - loc} sample(s) this step — size the "
+                f"loader batch to a multiple of accum x dp devices",
+                stacklevel=2)
+        img = img[:loc].reshape(a, micro // nproc, *img.shape[1:])
+        rna = rna[:loc].reshape(a, micro // nproc, *rna.shape[1:])
+        if nproc > 1:
+            return {k: jax.make_array_from_process_local_data(
+                        self._batch_sharding, np.asarray(v))
+                    for k, v in (("image", img), ("rna", rna))}
+        out = {"image": jnp.asarray(img), "rna": jnp.asarray(rna)}
+        if self._batch_sharding is not None:
+            out = {k: jax.device_put(v, self._batch_sharding)
+                   for k, v in out.items()}
+        return out
+
     # ---------------- the loop ----------------
     def fit(self, batch_iter: Iterator[dict], *, max_steps: int,
             log_every: int = 50, state: Optional[TrainState] = None,
@@ -307,40 +355,7 @@ class Trainer:
         if self._rep_sharding is not None:
             state = jax.device_put(state, self._rep_sharding)
 
-        nproc = jax.process_count()
-
-        def shape_batch(b):
-            # split the loader's (effective) batch into `accum` microbatches;
-            # clamp so a batch smaller than accum_batches still trains (one
-            # sample per microbatch) instead of producing empty means.
-            # Multi-process: the iterator yields this process's LOCAL shard
-            # of the global batch (reference DistributedSampler semantics,
-            # config.py:261-266); shapes below are per-process, assembled
-            # into the global array with make_array_from_process_local_data.
-            img, rna = b["image"], b["rna"]
-            glob = img.shape[0] * nproc
-            a = max(1, min(conf.accum_batches, glob))
-            micro = glob // a
-            if self.mesh is not None:
-                # (global) microbatch must tile the dp axis evenly
-                ndp = self.mesh.devices.size
-                assert glob >= ndp, f"batch {glob} < dp devices {ndp}"
-                micro = micro // ndp * ndp
-                if micro == 0:
-                    micro = ndp
-                    a = max(1, glob // micro)
-            loc = a * micro // nproc
-            img = img[:loc].reshape(a, micro // nproc, *img.shape[1:])
-            rna = rna[:loc].reshape(a, micro // nproc, *rna.shape[1:])
-            if nproc > 1:
-                return {k: jax.make_array_from_process_local_data(
-                            self._batch_sharding, np.asarray(v))
-                        for k, v in (("image", img), ("rna", rna))}
-            out = {"image": jnp.asarray(img), "rna": jnp.asarray(rna)}
-            if self._batch_sharding is not None:
-                out = {k: jax.device_put(v, self._batch_sharding)
-                       for k, v in out.items()}
-            return out
+        shape_batch = self.shape_batch
 
         import time
         losses, t0 = [], time.time()

@@ -135,3 +135,34 @@ def test_preview_full_channel_grid(tmp_path):
     assert im[..., 0].mean() < 0.5 * min(im[..., 1].mean(),
                                          im[..., 2].mean())
     assert im[..., 1].std() > 10 and im[..., 2].std() > 10
+
+
+def test_shape_batch_warns_on_dropped_samples():
+    """A batch that doesn't tile accum x dp trains on the largest tiling
+    prefix but must WARN about the dropped tail (the reference instead
+    asserts divisibility, experiment.py:98-105)."""
+    import warnings
+
+    from tera_mind_tpu.training.harness import Trainer
+
+    conf = TrainConfig(image_size=32, net_ch=8, embed_channels=32,
+                       rna_num=16, rna_slices=4, stain="all",
+                       batch_size=4, accum_batches=2, lr=1e-3,
+                       compute_dtype="float32", train_crop=64)
+    tr = Trainer(conf, mesh=None)
+    b = {"image": np.zeros((5, 64, 64, conf.in_channels), np.float32),
+         "rna": np.zeros((5, 6, 6, 64), np.float32)}
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = tr.shape_batch(b)
+    assert out["image"].shape[:2] == (2, 2)  # 4 of 5 samples used
+    assert any("dropping" in str(w.message) for w in rec), \
+        [str(w.message) for w in rec]
+
+    # an exactly-tiling batch must NOT warn
+    b4 = {k: v[:4] for k, v in b.items()}
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        out2 = tr.shape_batch(b4)
+    assert out2["image"].shape[:2] == (2, 2)
+    assert not any("dropping" in str(w.message) for w in rec2)
