@@ -45,7 +45,9 @@ def _segment_classical(img01: np.ndarray, *, thresh: Optional[float] = None,
         denom = omega * (1 - omega)
         denom[denom == 0] = np.inf
         sigma_b = (mu_t * omega - mu) ** 2 / denom
-        thresh = float(edges[np.argmax(sigma_b)])
+        # split at bin i puts bin i in the BACKGROUND class (omega is an
+        # inclusive cumsum), so the threshold is that bin's right edge
+        thresh = float(edges[np.argmax(sigma_b) + 1])
     mask = img01 > thresh
     mask = ndi.binary_opening(mask, iterations=1)
     labels, n = ndi.label(mask)
@@ -88,6 +90,47 @@ def nuclei_stats(img: np.ndarray, *, use_cellpose: bool = True,
     src = expression if expression is not None else x
     inten = ndi.mean(src, labels, idx)
     return NucleiStats(n, np.asarray(sizes), np.asarray(inten))
+
+
+def stats_from_masks(img: np.ndarray, masks) -> Optional[tuple]:
+    """Mask→stats stage of the reference's ``calc_cellpose``
+    (utils/metrics.py:157-191) with the segmenter factored out.
+
+    img: (B, C, H, W) uint8-range array; slice ``v`` is valid iff its
+    channel-0 has any nonzero pixel (metrics.py:159).  ``masks``: integer
+    label maps (H, W), one per VALID slice in valid-slice order — exactly
+    what cellpose's ``mod.eval`` returns.  Returns ``(nstat, narea, valid)``
+    matching the reference's ``met['nstat'/'narea'/'valid']`` entries:
+
+    - nstat (1+C, B): row 0 = nuclei count per slice; rows 1..C = per-channel
+      mean intensity of the /255-scaled slice (metrics.py:166, 176-178)
+    - narea (mlen, B): per-nucleus pixel counts (background label dropped),
+      rows truncated to the max count (metrics.py:175-185)
+    - valid: indices of non-black slices
+
+    Returns None when every slice is black (reference early-out,
+    metrics.py:161-163).
+    """
+    img = np.asarray(img)
+    im = img.astype(np.float64) / 255.0
+    valid = [v for v in range(img.shape[0]) if (img[v, 0] != 0).any()]
+    if not valid:
+        return None
+    masks = list(masks)
+    assert len(masks) == len(valid), (len(masks), len(valid))
+    n_b, n_c = img.shape[:2]
+    expr = im.mean((-1, -2))
+    nstat = np.zeros((1 + n_c, n_b), np.float32)
+    narea = np.zeros((512, n_b), np.float32)
+    for mid, msk in zip(valid, masks):
+        # per-label pixel counts with the first (background) bucket dropped
+        cnt = np.unique(msk, return_counts=True)[1][1:]
+        nstat[0, mid] = len(cnt)
+        nstat[1:, mid] = expr[mid]
+        narea[: len(cnt), mid] = cnt
+    mlen = int(nstat[0].max())
+    assert mlen <= narea.shape[0]
+    return nstat, narea[:mlen], valid
 
 
 def compare_morphology(gen_tiles, real_tiles, **kw) -> dict:

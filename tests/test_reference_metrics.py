@@ -129,3 +129,90 @@ def test_online_variance_masked_matches_reference(ref):
     np.testing.assert_allclose(ours.mean, theirs.mean.numpy(), rtol=1e-8)
     np.testing.assert_allclose(ours.std, theirs.std.numpy(), rtol=1e-6)
     np.testing.assert_allclose(ours.n, theirs.n.numpy())
+
+
+def _synthetic_nuclei(rng, b=5, c=2, h=64, w=64, black=(2,)):
+    """Synthetic label masks + images: disks of varying radius rendered
+    bright on a dim background; slice indices in ``black`` are all-zero
+    (invalid per the reference's (img[v,0]!=0).any() filter)."""
+    imgs = np.zeros((b, c, h, w), np.uint8)
+    masks = []
+    yy, xx = np.mgrid[:h, :w]
+    for v in range(b):
+        if v in black:
+            continue
+        lab = np.zeros((h, w), np.int32)
+        n = int(rng.integers(3, 9))
+        for k in range(1, n + 1):
+            cy, cx = rng.integers(8, h - 8), rng.integers(8, w - 8)
+            r = int(rng.integers(3, 7))
+            lab[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = k
+        img = np.full((h, w), 30, np.uint8)
+        img[lab > 0] = 180
+        imgs[v, 0] = img
+        for ch in range(1, c):
+            imgs[v, ch] = (img * 0.5).astype(np.uint8)
+        masks.append(lab)
+    return imgs, masks
+
+
+def test_cellpose_stats_match_reference(ref):
+    """Mask→stats math vs the reference's LIVE calc_cellpose
+    (utils/metrics.py:153-191), segmentation factored out: a fake
+    cellpose model returns identical synthetic label masks to both."""
+    from tera_mind_tpu.metrics.morphology import stats_from_masks
+
+    ref_metrics, _ = ref
+    rng = np.random.default_rng(11)
+    imgs, masks = _synthetic_nuclei(rng)
+
+    class FakeCellpose:
+        def eval(self, im_lst, diameter=None, normalize=False,
+                 channels=None):
+            # the reference hands cellpose the /255. channel-0 slices of
+            # every valid (non-black) tile, in slice order (metrics.py:158-172)
+            assert len(im_lst) == len(masks)
+            for im, lab in zip(im_lst, masks):
+                assert im.shape == lab.shape
+            return list(masks), None, None, None
+
+    met = {"nstat": [], "narea": [], "valid": []}
+    ref_metrics.calc_cellpose(imgs, FakeCellpose(), met, None, "roi",
+                              debug=False)
+    got = stats_from_masks(imgs, masks)
+    assert got is not None
+    nstat, narea, valid = got
+    np.testing.assert_allclose(nstat, met["nstat"][0].numpy(), rtol=1e-12)
+    np.testing.assert_allclose(narea, met["narea"][0].numpy(), rtol=1e-12)
+    assert valid == list(met["valid"][0])
+
+    # all-black input: both sides report "nothing to score"
+    blank = np.zeros_like(imgs)
+    met2 = {"nstat": [], "narea": [], "valid": []}
+    ref_metrics.calc_cellpose(blank, FakeCellpose(), met2, None, "roi",
+                              debug=False)
+    assert stats_from_masks(blank, []) is None and not met2["nstat"]
+
+
+def test_classical_segmenter_delta_vs_true_masks():
+    """Document the Otsu-fallback's delta against the ground-truth masks on
+    the same synthetic nuclei: counts match exactly on well-separated disks
+    and per-nucleus size error stays small (the fallback is a stand-in for
+    cellpose, not a numerics claim)."""
+    from tera_mind_tpu.metrics.morphology import nuclei_stats
+
+    rng = np.random.default_rng(12)
+    yy, xx = np.mgrid[:96, :96]
+    lab = np.zeros((96, 96), np.int32)
+    # disjoint grid of disks => segmentation is unambiguous
+    k = 0
+    for cy in range(16, 96, 32):
+        for cx in range(16, 96, 32):
+            k += 1
+            lab[(yy - cy) ** 2 + (xx - cx) ** 2 <= 25] = k
+    img = np.where(lab > 0, 0.9, 0.1).astype(np.float32)
+    s = nuclei_stats(img, use_cellpose=False)
+    true_sizes = np.unique(lab, return_counts=True)[1][1:]
+    assert s.count == k
+    rel = np.abs(np.sort(s.sizes) - np.sort(true_sizes)) / true_sizes
+    assert rel.max() < 0.15, rel
