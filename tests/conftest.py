@@ -45,3 +45,9 @@ def pytest_collection_modifyitems(config, items):
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "cpu_mesh: needs a multi-device CPU mesh (slow here)")
+    config.addinivalue_line(
+        "markers", "slow: heavyweight test (flagship-size parity, "
+        "multi-subprocess runs, long quant/stream chains). The default "
+        "fast gate is `pytest -m 'not slow'` (<15 min on this host); run "
+        "the full suite before releases — tier runtimes recorded in "
+        "PARITY.md")
