@@ -89,30 +89,81 @@ class TorchscriptFeatures:
             return self.model(x).numpy()
 
 
+# OpenAI CLIP image-normalization constants (reference CLIP_fx.__call__,
+# feat_mba.py:170-172)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def clip_preprocess(batch: np.ndarray, size: int = 224) -> np.ndarray:
+    """Reference-exact CLIP image preprocessing.
+
+    Replicates the reference's ``fn_resize(mode='clip')`` →
+    ``post_dim`` → ``CLIP_fx`` normalize chain (feat_mba.py:199-208,
+    182-196, 164-179) on a [0,255]-range float batch:
+
+    1. truncate to uint8 (``x.byte()``, feat_mba.py:203)
+    2. antialiased bicubic resize to ``size`` — torchvision's tensor path
+       (``F.resize(x, sz, 3, antialias=True)``) lowers to
+       ``torch.nn.functional.interpolate(mode='bicubic', antialias=True)``
+       with a round+clamp back to the integer dtype, which is what we call
+       directly (torchvision is absent in this environment)
+    3. ``float().div(255)`` ("simulate toTensor", feat_mba.py:206-207)
+    4. channel rules: 1ch → repeat to 3; 2ch (DAPI+PolyT) → PREPEND a zero
+       channel (feat_mba.py:190-196)
+    5. normalize with the CLIP mean/std
+
+    Input (B, H, W) or (B, H, W, C); output (B, 3, size, size) float32.
+    Offline eval path — torch CPU ops, like :class:`TorchscriptFeatures`.
+    """
+    import torch
+    x = np.asarray(batch, np.float32)
+    if x.ndim == 3:
+        x = x[..., None]
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    t = t.to(torch.uint8).float()
+    t = torch.nn.functional.interpolate(t, (size, size), mode="bicubic",
+                                        antialias=True)
+    t = t.round_().clamp_(0, 255).div_(255.0)
+    c = t.shape[1]
+    if c == 1:
+        t = t.repeat(1, 3, 1, 1)
+    elif c == 2:
+        t = torch.cat((torch.zeros_like(t[:, :1]), t), 1)
+    mean = torch.tensor(CLIP_MEAN).view(1, 3, 1, 1)
+    std = torch.tensor(CLIP_STD).view(1, 3, 1, 1)
+    return ((t - mean) / std).numpy()
+
+
 class CLIPFeatures:
     """CLIP ViT-B/32 image features via transformers' flax implementation
-    (reference CLIP_fx, feat_mba.py:164-179).  Needs locally available
-    weights (zero-egress environment): pass a local model directory."""
-
-    dim = 512
+    (reference CLIP_fx, feat_mba.py:164-179), with reference-exact
+    :func:`clip_preprocess`.  Needs locally available weights (zero-egress
+    environment): pass a local model directory (torch checkpoints load via
+    ``from_pt``).  Numerics vs the torch CLIP tower are cross-checked in
+    tests/test_clip.py (weight-shared tiny model, ≤1e-5)."""
 
     def __init__(self, model_dir: str):
         import jax
-        from transformers import FlaxCLIPModel, CLIPImageProcessor
-        self.model = FlaxCLIPModel.from_pretrained(model_dir)
-        self.proc = CLIPImageProcessor.from_pretrained(model_dir)
-        self._apply = jax.jit(
-            lambda pix: self.model.get_image_features(pixel_values=pix))
+        from transformers import FlaxCLIPModel
+        try:
+            self.model = FlaxCLIPModel.from_pretrained(model_dir)
+        except (OSError, EnvironmentError):
+            self.model = FlaxCLIPModel.from_pretrained(model_dir,
+                                                       from_pt=True)
+        self.dim = int(self.model.config.projection_dim)
+        self.size = int(self.model.config.vision_config.image_size)
+
+        def fx(pix):
+            # f32-accurate matmuls: TPU default (bf16 inputs) drifts ~1e-3
+            # from the torch reference; 'highest' holds ~1e-5
+            with jax.default_matmul_precision("highest"):
+                return self.model.get_image_features(pixel_values=pix)
+
+        self._apply = jax.jit(fx)
 
     def __call__(self, batch: np.ndarray) -> np.ndarray:
-        x = np.asarray(batch, np.float32)
-        if x.ndim == 3:
-            x = np.repeat(x[..., None], 3, axis=-1)
-        imgs = [(v - v.min()) / max(v.max() - v.min(), 1e-6) * 255
-                for v in x]
-        pix = self.proc(images=imgs, return_tensors="np",
-                        do_rescale=True)["pixel_values"]
-        return np.asarray(self._apply(pix))
+        return np.asarray(self._apply(clip_preprocess(batch, self.size)))
 
 
 def collect_moments(tiles: Iterable[np.ndarray], extractor: FeatureExtractor,
