@@ -91,18 +91,38 @@ class HostState:
     def padded_window(self, r0: int, c0: int, br: int, bc: int, pad: int,
                       fill: float = -1.0,
                       ghost_top: Optional[np.ndarray] = None,
-                      ghost_bot: Optional[np.ndarray] = None) -> np.ndarray:
+                      ghost_bot: Optional[np.ndarray] = None,
+                      out: Optional[np.ndarray] = None) -> np.ndarray:
         """Window of (br x bc) tiles at tile-origin (r0, c0) with a ``pad``-px
         halo from the read buffer; outside the grid -> ``fill``, unless a
         ghost strip covers it (band-parallel mode: ghost_top/ghost_bot are
-        the neighbor bands' previous-timestep edge rows, (pad, W, C))."""
+        the neighbor bands' previous-timestep edge rows, (pad, W, C)).
+
+        ``out``: optional reusable staging buffer of the window shape (any
+        float dtype — the copy casts on assignment, so a bf16 staging
+        buffer also absorbs the transfer-dtype conversion).  Only the
+        border strips outside the grid are re-filled, not the whole
+        buffer — interior windows skip the fill entirely."""
         t = self.tile
         h0, w0 = r0 * t - pad, c0 * t - pad
         h1, w1 = (r0 + br) * t + pad, (c0 + bc) * t + pad
-        out = np.full((h1 - h0, w1 - w0, self.channels), fill, np.float32)
+        shape = (h1 - h0, w1 - w0, self.channels)
         sh0, sw0 = max(h0, 0), max(w0, 0)
         sh1 = min(h1, self.rows * t)
         sw1 = min(w1, self.cols * t)
+        if out is None:
+            out = np.full(shape, fill, np.float32)
+        else:
+            assert out.shape == shape, (out.shape, shape)
+            # fill only the strips the grid copy won't overwrite
+            if sh0 - h0:
+                out[: sh0 - h0] = fill
+            if h1 - sh1:
+                out[-(h1 - sh1):] = fill
+            if sw0 - w0:
+                out[:, : sw0 - w0] = fill
+            if w1 - sw1:
+                out[:, -(w1 - sw1):] = fill
         out[sh0 - h0: sh1 - h0, sw0 - w0: sw1 - w0] = \
             self.read[sh0:sh1, sw0:sw1]
         if ghost_top is not None and h0 < 0:
@@ -142,13 +162,36 @@ class StreamConfig:
                                  # state matches its regime.  Opt-in: f32
                                  # default keeps bit-equality with the
                                  # in-HBM generator (tests/test_streaming).
-    pipeline: bool = True        # dispatch window k+1 before fetching
-                                 # window k's output: device compute +
-                                 # transfers overlap the host-side halo
-                                 # assembly of the next window (jax async
-                                 # dispatch).  Results are identical —
+    pipeline: bool = True        # keep `inflight` windows in flight via a
+                                 # small worker pool: window k+2's halo
+                                 # assembly and H2D overlap window k+1's
+                                 # compute and window k's D2H (this host's
+                                 # tunneled PCIe moves ~30-40 MB/s each
+                                 # way, so un-overlapped transfers dominate
+                                 # the sweep).  Results are identical —
                                  # windows write disjoint regions and read
                                  # the immutable read buffer.
+    inflight: int = 3            # windows in flight per device when
+                                 # pipeline=True (3 = assemble/H2D +
+                                 # compute + D2H stages in parallel).
+                                 # Each worker reuses one staging buffer,
+                                 # so peak extra host memory is
+                                 # inflight * one padded window.
+    gene_device_cache_gb: float = 4.0
+                                 # HBM budget (GB per device) for keeping
+                                 # window gene blocks ON DEVICE across
+                                 # timestep sweeps.  Gene conditioning is
+                                 # timestep-invariant, but the sweep visits
+                                 # every window each step — without this
+                                 # cache the same ~10 MB/tile uint8 stack
+                                 # rides the slow host link every visit
+                                 # (~25-40% of H2D bytes).  Pin-first
+                                 # semantics, not LRU: once the budget is
+                                 # full, later windows transfer per visit —
+                                 # an LRU would thrash under the cyclic
+                                 # sweep order and cache nothing.  0
+                                 # disables (bit-identical either way; the
+                                 # device array holds the same bytes).
     steps_per_window: int = 1    # temporal halo blocking: advance K DDIM
                                  # steps per window visit using an enlarged
                                  # halo of pad + patch*(K-1) px, shrinking
@@ -187,6 +230,8 @@ class StreamingGenerator:
         self._window_fn = jax.jit(self._window_step)
         # temporal-blocking variants, jitted per inner-step count k
         self._ms_fns = {}
+        import threading
+        self._ms_lock = threading.Lock()  # window workers share the memo
         if sconf.steps_per_window > 1:
             if c.patch * (sconf.steps_per_window - 1) > c.tile + c.pad:
                 raise ValueError(
@@ -277,11 +322,12 @@ class StreamingGenerator:
 
     def _ms_fn(self, k: int, bounds: tuple):
         key = (k, bounds)
-        if key not in self._ms_fns:
-            import functools
-            self._ms_fns[key] = jax.jit(functools.partial(
-                self._multistep_window, k=k, bounds=bounds))
-        return self._ms_fns[key]
+        with self._ms_lock:  # one jit wrapper per key across workers
+            if key not in self._ms_fns:
+                import functools
+                self._ms_fns[key] = jax.jit(functools.partial(
+                    self._multistep_window, k=k, bounds=bounds))
+            return self._ms_fns[key]
 
     # ---- init ----------------------------------------------------------
     def init_state(self, state: HostState, *, row0: int = 1, col0: int = 1,
@@ -371,21 +417,36 @@ class StreamingGenerator:
         c_orig = sorted({min(cc, cols - bc) for cc in range(0, cols, bc)})
 
         # per-window gene cache (timestep-invariant), LRU-bounded so a
-        # whole-brain sweep holds only O(gene_cache_windows) blocks in RAM
+        # whole-brain sweep holds only O(gene_cache_windows) blocks in RAM.
+        # Window workers hit it concurrently, so structural ops take a
+        # lock; the (possibly slow) provider reads stay outside it — a
+        # window appears at most once per sweep, so concurrent same-key
+        # builds don't arise.
+        import threading
         from collections import OrderedDict
         gene_cache: OrderedDict = OrderedDict()
+        cache_lock = threading.Lock()
 
         def _cache_put(key, blk):
-            gene_cache[key] = blk
-            if s.gene_cache_windows and len(gene_cache) > s.gene_cache_windows:
-                gene_cache.popitem(last=False)
+            with cache_lock:
+                gene_cache[key] = blk
+                if s.gene_cache_windows and \
+                        len(gene_cache) > s.gene_cache_windows:
+                    gene_cache.popitem(last=False)
             return blk
+
+        def _cache_get(key):
+            with cache_lock:
+                blk = gene_cache.get(key)
+                if blk is not None:
+                    gene_cache.move_to_end(key)
+                return blk
 
         def gene_block(r0: int, c0: int) -> np.ndarray:
             key = (r0, c0)
-            if key in gene_cache:
-                gene_cache.move_to_end(key)
-                return gene_cache[key]
+            hit = _cache_get(key)
+            if hit is not None:
+                return hit
             # provider takes GRID-LOCAL tile indices; a provider over a
             # global store should bake its own offsets into the closure
             tiles = [[provider(r0 + i, c0 + j)
@@ -405,9 +466,9 @@ class StreamingGenerator:
             border tiles' own halo bins, exactly like
             :func:`~..generator.assemble_bins` on the core alone."""
             key = (r0, c0, k)
-            if key in gene_cache:
-                gene_cache.move_to_end(key)
-                return gene_cache[key]
+            hit = _cache_get(key)
+            if hit is not None:
+                return hit
             Hb = self._halo_px(k) // c.gn_blk
             gh, gw = br * nb + 2 * Hb, bc * nb + 2 * Hb
             canvas = None
@@ -436,6 +497,30 @@ class StreamingGenerator:
             assert canvas is not None, "empty gene window"
             return _cache_put(key, canvas)
 
+        # device-resident gene cache: the sweep re-visits every window each
+        # timestep but its gene block never changes — upload once and keep
+        # it in HBM up to the configured budget (pin-first, per device).
+        dev_gene: dict = {}
+        dev_gene_bytes: dict = {}
+        dev_budget = int(self.sconf.gene_device_cache_gb * 1e9)
+
+        def gene_on_device(r0: int, c0: int, k: int, device):
+            key = (r0, c0, k, device)
+            with cache_lock:
+                arr = dev_gene.get(key)
+            if arr is not None:
+                return arr
+            blk = gene_block(r0, c0) if k == 1 else gene_block_ext(r0, c0, k)
+            arr = (jnp.asarray(blk) if device is None
+                   else jax.device_put(blk, device))
+            if dev_budget:
+                with cache_lock:
+                    used = dev_gene_bytes.get(device, 0)
+                    if used + arr.nbytes <= dev_budget:
+                        dev_gene[key] = arr
+                        dev_gene_bytes[device] = used + arr.nbytes
+            return arr
+
         windows = [(r0, c0) for r0 in r_orig for c0 in c_orig]
 
         # band-parallel: ghosts = neighbor bands' edge rows for the state
@@ -457,6 +542,20 @@ class StreamingGenerator:
         cur = {"t": start_t - 1, "k": 1}  # the active visit, read by
         #                                   dispatch_window at call time
 
+        # per-worker reusable staging buffers (the padded-window copy casts
+        # straight into the transfer dtype; a worker's previous window is
+        # fully fetched before it assembles the next, so reuse is safe)
+        tls = threading.local()
+
+        def _staging(shape) -> np.ndarray:
+            bufs = getattr(tls, "bufs", None)
+            if bufs is None:
+                bufs = tls.bufs = {}
+            buf = bufs.get(shape)
+            if buf is None:
+                buf = bufs[shape] = np.empty(shape, tdt)
+            return buf
+
         # TMT_STREAM_TIMING=1: per-phase wall-time breakdown (host halo
         # assembly / H2D / device queue / D2H), printed at the end of the
         # run.  Adds sync points, so the pipeline overlap is disabled while
@@ -472,25 +571,20 @@ class StreamingGenerator:
             host-side assembly with this one's transfer + compute."""
             t0, k = cur["t"], cur["k"]
             tw0 = time.perf_counter() if tim is not None else 0.0
+            halo = self._halo_px(k)
+            stage = _staging((br * c.tile + 2 * halo,
+                              bc * c.tile + 2 * halo, c.channels))
+            padded = state.padded_window(r0, c0, br, bc, halo,
+                                         ghost_top=ghosts[0],
+                                         ghost_bot=ghosts[1], out=stage)
+            gblk = gene_on_device(r0, c0, k, device)
             if k == 1:
-                padded = state.padded_window(r0, c0, br, bc, self._pad,
-                                             ghost_top=ghosts[0],
-                                             ghost_bot=ghosts[1])
-                if tdt != np.float32:
-                    padded = padded.astype(tdt)  # halve the H2D bytes
-                fn, args = self._window_fn, (padded, gene_block(r0, c0),
-                                             np.int32(t0))
+                fn, args = self._window_fn, (padded, gblk, np.int32(t0))
             else:
-                halo = self._halo_px(k)
-                padded = state.padded_window(r0, c0, br, bc, halo,
-                                             ghost_top=ghosts[0],
-                                             ghost_bot=ghosts[1])
-                if tdt != np.float32:
-                    padded = padded.astype(tdt)
                 fn = self._ms_fn(k, (-rows_above * c.tile,
                                      (rows + rows_below) * c.tile,
                                      0, cols * c.tile))
-                args = (padded, gene_block_ext(r0, c0, k), np.int32(t0),
+                args = (padded, gblk, np.int32(t0),
                         np.int32(r0 * c.tile - halo),
                         np.int32(c0 * c.tile - halo))
             if tim is not None:
@@ -528,10 +622,17 @@ class StreamingGenerator:
         def do_window(r0: int, c0: int, device=None) -> None:
             fetch_window(dispatch_window(r0, c0, device))
 
+        # worker pool: `inflight` windows in flight per device (each worker
+        # owns one staging buffer and runs assemble -> H2D -> compute -> D2H
+        # synchronously, so concurrency == worker count).  The timing path
+        # stays sequential — its per-phase blocks would otherwise race.
+        ndev = len(self.devices) if self.devices else 1
+        n_workers = (max(1, self.sconf.inflight) * ndev
+                     if self.sconf.pipeline and tim is None else ndev)
         pool = None
-        if self.devices and len(self.devices) > 1:
+        if n_workers > 1:
             from concurrent.futures import ThreadPoolExecutor
-            pool = ThreadPoolExecutor(len(self.devices))
+            pool = ThreadPoolExecutor(n_workers)
 
         t = start_t - 1
         prev_epoch = T - start_t  # epochs completed before this run
@@ -539,24 +640,16 @@ class StreamingGenerator:
             k = min(K, t + 1)
             cur["t"], cur["k"] = t, k
             if pool is None:
-                dev = self.devices[0] if self.devices else None
-                if self.sconf.pipeline:
-                    pending = None
-                    for r0, c0 in windows:
-                        nxt = dispatch_window(r0, c0, dev)
-                        if pending is not None:
-                            fetch_window(pending)
-                        pending = nxt
-                    fetch_window(pending)
-                else:
-                    for r0, c0 in windows:
-                        do_window(r0, c0, dev)
+                for r0, c0 in windows:
+                    do_window(r0, c0, self.devices[0] if self.devices
+                              else None)
             else:
                 # round-robin the window sweep over local devices; writes
                 # are disjoint and halos read the immutable read-buffer, so
                 # per-window order is irrelevant within a timestep
                 futs = [pool.submit(do_window, r0, c0,
-                                    self.devices[i % len(self.devices)])
+                                    self.devices[i % ndev]
+                                    if self.devices else None)
                         for i, (r0, c0) in enumerate(windows)]
                 for f in futs:
                     f.result()

@@ -257,13 +257,38 @@ def test_streaming_gene_cache_is_bounded():
 
     sgen = StreamingGenerator(gen, StreamConfig(block_rows=2, block_cols=2,
                                                 progress=False,
-                                                gene_cache_windows=1))
+                                                gene_cache_windows=1,
+                                                gene_device_cache_gb=0.0))
     got = np.asarray(sgen.run(rows, cols, provider, row0=1, col0=1).read)
     want = gen.run(gene, row0=1, col0=1, progress=False)
     np.testing.assert_array_equal(got, want)
     # bound 1 < 3 windows per sweep => every sweep re-fetches every window
     T = gen.sampler.schedule.num_timesteps
     assert len(calls) == T * rows * cols
+
+
+def test_streaming_device_gene_cache_skips_refetch():
+    """With the device-resident gene cache (default), each window's gene
+    block is fetched from the provider ONCE and then reused from HBM for
+    every later timestep sweep — and the output is bit-identical."""
+    gen, gconf = _mk()
+    rows, cols = 2, 6
+    rng = np.random.default_rng(9)
+    gene = (rng.random((rows, cols, gconf.gsz, gconf.gsz, gconf.z_pad,
+                        gconf.gdim)) < 0.05).astype(np.uint8)
+    calls = []
+
+    def provider(r, c):
+        calls.append((r, c))
+        return gene[r, c]
+
+    sgen = StreamingGenerator(gen, StreamConfig(block_rows=2, block_cols=2,
+                                                progress=False,
+                                                gene_cache_windows=1))
+    got = np.asarray(sgen.run(rows, cols, provider, row0=1, col0=1).read)
+    want = gen.run(gene, row0=1, col0=1, progress=False)
+    np.testing.assert_array_equal(got, want)
+    assert len(calls) == rows * cols  # one fetch per tile, ever
 
 
 def test_streaming_multi_device_matches_single():
