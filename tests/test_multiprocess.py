@@ -26,6 +26,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.cpu_mesh
+@pytest.mark.slow
 def test_two_process_generation_matches_single_device():
     port = _free_port()
     env = dict(os.environ)

@@ -10,6 +10,7 @@ end-to-end output error of the quantized model stays small.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tera_mind_tpu.ops.quant import (quant_conv2d, quantize_tensor,
                                      quantize_weight)
@@ -117,6 +118,7 @@ def test_quant_model_from_5d_tree():
     assert np.max(np.abs(a - b)) / scale < 0.15
 
 
+@pytest.mark.slow
 def test_quant_generation_chain_quality():
     """Error must stay bounded through a full multi-step DDIM chain (each
     step feeds the quantized model's output back in, so single-forward
@@ -291,6 +293,7 @@ def test_static_act_conv_bitexact_and_model_close():
             np.mean(np.abs(a - b)) / scale
 
 
+@pytest.mark.slow
 def test_static_act_chain_quality_and_calibration_fn():
     """End-to-end: calibrate through a TeraGenerator chain with
     make_calibrating_model_fn (io_callback inside lax.scan), bake, and
@@ -367,6 +370,7 @@ def test_static_act_chain_quality_and_calibration_fn():
     assert abs(a.std() - b.std()) / a.std() < 0.02
 
 
+@pytest.mark.slow
 def test_calibrate_generator_callback_free():
     """calibrate_generator (the axon-safe path: amaxes as jit outputs,
     no host callbacks) produces baked scales whose static chain matches
@@ -443,6 +447,7 @@ def test_calibrate_generator_callback_free():
     assert abs(a.std() - b.std()) / a.std() < 0.02
 
 
+@pytest.mark.slow
 def test_streaming_quant_matches_in_hbm():
     """--stream --quant: the host-streaming path (state beyond HBM,
     parallel/streaming.py) must reproduce the in-HBM quantized chain, so
@@ -563,6 +568,7 @@ def test_quant_attn_model_close_and_prequant_exact():
     np.testing.assert_allclose(np.asarray(od), np.asarray(op), atol=atol)
 
 
+@pytest.mark.slow
 def test_quant_attn_chain_quality_static():
     """Deployment gate for the quant_attn int8_static mode (the bench/CLI
     default when --quant is on): calibrate through calibrate_generator

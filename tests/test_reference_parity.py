@@ -161,6 +161,7 @@ def test_full_ddim_loop_parity(tiny_pair):
     assert float(jnp.abs(got).max()) <= 1.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_forward_parity_flagship_size(tmp_path):
     """Same check at the real 638850 config (net_ch=64, 229-plex, 64px
     patches, ~210M params) — catches any size-dependent drift."""
