@@ -143,6 +143,19 @@ class TeraGenerator:
         large param pytrees would embed them as literal constants in the
         serialized HLO (hundreds of MB for the full model, which this
         environment's remote compile service rejects with HTTP 413)."""
+        sc = sampler.conf
+        if sc.gen_type != "ddim" or sc.eta != 0.0:
+            # the tera path calls denoise_step without an rng: stochastic
+            # steps would need per-(t, window-origin) keys threaded through
+            # every jitted step variant to avoid correlated noise across
+            # streamed windows/shards.  The reference tera-scale protocol is
+            # deterministic DDIM (test_brn.py:209-217); fail at construction
+            # instead of asserting deep inside a jitted step (use
+            # DiffusionSampler.sample(rng=...) for stochastic generation).
+            raise ValueError(
+                f"TeraGenerator supports eta=0 DDIM only, got "
+                f"gen_type={sc.gen_type!r} eta={sc.eta}; stochastic "
+                f"sampling is available via DiffusionSampler.sample")
         self.sampler = sampler
         self.conf = conf
         self.mesh = mesh
