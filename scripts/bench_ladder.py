@@ -142,14 +142,24 @@ def run_stream(tiles: int, steps: int = 3, block: int = 2,
         block_rows=block, block_cols=block, progress=False,
         block_major=True, gene_cache_windows=4,
         transfer_dtype=tdt, steps_per_window=spw,
-        pipeline=os.environ.get("STREAM_PIPELINE", "1") == "1"))
+        pipeline=os.environ.get("STREAM_PIPELINE", "1") == "1",
+        inflight=int(os.environ.get("STREAM_INFLIGHT", "3")),
+        gene_device_cache_gb=float(os.environ.get("STREAM_GENE_GB", "4"))))
 
     # warm-up run (compile) on a block-sized grid
     sgen.run(block, block, provider, row0=1, col0=1)
 
-    t0 = time.time()
-    sgen.run(tiles, tiles, provider, row0=1, col0=1)
-    dt = time.time() - t0
+    # repeat discipline (VERDICT r2 #4): streaming runs on the tunneled
+    # host are noisy — report the median of STREAM_REPEATS sweeps
+    reps = int(os.environ.get("STREAM_REPEATS", "1"))
+    times = []
+    for i in range(reps):
+        # row0 varies per repeat: different LCG seeds -> different x_T, so
+        # the axon value-keyed execution cache cannot replay a prior sweep
+        t0 = time.time()
+        sgen.run(tiles, tiles, provider, row0=1 + i, col0=1)
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
     rate = tiles * tiles / (dt * 15.0 / steps)
     print(json.dumps({
         "metric": "256x256x100ch tiles/sec/chip, full 15-step DDIM",

@@ -106,6 +106,14 @@ def main():
                     "max tile//patch + 1)")
     ap.add_argument("--stream_memmap", type=str, default=None,
                     help="disk-back the host state (beyond-RAM grids)")
+    ap.add_argument("--stream_inflight", type=int, default=3,
+                    help="streaming windows in flight per device (worker "
+                         "pipeline: assembly/H2D overlap compute and D2H; "
+                         "results identical, see StreamConfig.inflight)")
+    ap.add_argument("--stream_gene_gb", type=float, default=4.0,
+                    help="HBM budget (GB/device) for pinning the timestep-"
+                         "invariant gene blocks on device across sweeps "
+                         "(0 disables; bit-identical either way)")
     ap.add_argument("--stream_dtype", default="float32",
                     choices=("float32", "bfloat16"),
                     help="host<->device state transfer dtype; bfloat16 "
@@ -330,6 +338,8 @@ def main():
             memmap_dir=args.stream_memmap,
             block_major=not args.tile_major,
             steps_per_window=args.stream_k,
+            inflight=args.stream_inflight,
+            gene_device_cache_gb=args.stream_gene_gb,
             transfer_dtype=args.stream_dtype),
             devices=jax.local_devices() if jax.local_device_count() > 1
             else None)
