@@ -118,7 +118,15 @@ def main():
                     choices=("float32", "bfloat16"),
                     help="host<->device state transfer dtype; bfloat16 "
                     "halves the dominant streaming cost (the reference "
-                    "round-trips fp16 state through disk every step)")
+                    "round-trips fp16 state through disk every step). "
+                    "The host state buffers are stored in this dtype too "
+                    "(bit-identical, halves host RAM/memmap bytes and "
+                    "makes window staging a memcpy); --stream_state_dtype "
+                    "overrides")
+    ap.add_argument("--stream_state_dtype", default=None,
+                    choices=(None, "float32", "bfloat16"),
+                    help="override the HOST state buffer dtype (default: "
+                    "same as --stream_dtype)")
     ap.add_argument("--tile_major", action="store_true",
                     help="per-tile window processing (the reference's "
                     "layout); default is block-major — one patch grid over "
@@ -340,13 +348,18 @@ def main():
             steps_per_window=args.stream_k,
             inflight=args.stream_inflight,
             gene_device_cache_gb=args.stream_gene_gb,
-            transfer_dtype=args.stream_dtype),
+            transfer_dtype=args.stream_dtype,
+            state_dtype=args.stream_state_dtype),
             devices=jax.local_devices() if jax.local_device_count() > 1
             else None)
         hstate = None
         if state0 is not None:
+            import jax.numpy as _jnp
             hstate = HostState(band_rows, cols, gconf.tile, gconf.channels,
-                               memmap_dir=args.stream_memmap)
+                               memmap_dir=args.stream_memmap,
+                               dtype=np.dtype(getattr(
+                                   _jnp, args.stream_state_dtype or
+                                   args.stream_dtype)))
             hstate.read[:] = state0
         hstate = sgen.run(band_rows, cols, gene_band,
                           row0=row0 + band_r0, col0=col0,

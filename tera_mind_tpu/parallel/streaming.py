@@ -55,25 +55,30 @@ def _as_provider(gene: Union[np.ndarray, GeneProvider]) -> GeneProvider:
 class HostState:
     """Double-buffered (read/write) whole-grid state on the host.
 
-    Shape per buffer: (rows*tile, cols*tile, channels) float32.  With
-    ``memmap_dir`` the buffers are disk-backed memmaps (for state beyond
-    host RAM); otherwise plain numpy arrays.
+    Shape per buffer: (rows*tile, cols*tile, channels) of ``dtype``
+    (default float32; the streaming generator passes its transfer dtype so
+    a bf16-transfer run stores bf16 — bit-identical to an f32 store, since
+    the f32 copy is cast to bf16 at every upload anyway, and it halves the
+    buffer bytes and turns the per-visit staging cast into a memcpy).
+    With ``memmap_dir`` the buffers are disk-backed memmaps (for state
+    beyond host RAM); otherwise plain numpy arrays.
     """
 
     def __init__(self, rows: int, cols: int, tile: int, channels: int,
-                 memmap_dir: Optional[str] = None):
+                 memmap_dir: Optional[str] = None, dtype=np.float32):
         self.rows, self.cols, self.tile, self.channels = \
             rows, cols, tile, channels
+        self.dtype = np.dtype(dtype)
         shape = (rows * tile, cols * tile, channels)
         if memmap_dir is None:
-            self.bufs = [np.zeros(shape, np.float32),
-                         np.zeros(shape, np.float32)]
+            self.bufs = [np.zeros(shape, self.dtype),
+                         np.zeros(shape, self.dtype)]
         else:
             d = Path(memmap_dir)
             d.mkdir(parents=True, exist_ok=True)
             self.bufs = [
                 np.lib.format.open_memmap(d / f"state_{i}.npy", mode="w+",
-                                          dtype=np.float32, shape=shape)
+                                          dtype=self.dtype, shape=shape)
                 for i in range(2)]
         self.read_idx = 0
 
@@ -111,7 +116,7 @@ class HostState:
         sh1 = min(h1, self.rows * t)
         sw1 = min(w1, self.cols * t)
         if out is None:
-            out = np.full(shape, fill, np.float32)
+            out = np.full(shape, fill, self.dtype)
         else:
             assert out.shape == shape, (out.shape, shape)
             # fill only the strips the grid copy won't overwrite
@@ -192,6 +197,20 @@ class StreamConfig:
                                  # sweep order and cache nothing.  0
                                  # disables (bit-identical either way; the
                                  # device array holds the same bytes).
+    state_dtype: Optional[str] = None
+                                 # dtype of the HOST state buffers.  None =
+                                 # same as transfer_dtype, so a bf16-transfer
+                                 # run stores bf16 host state: bit-identical
+                                 # results (the f32 buffer was cast to bf16
+                                 # at every upload anyway — storing f32 adds
+                                 # no information between bf16 round trips),
+                                 # half the host RAM / memmap bytes, and the
+                                 # per-visit staging cast and write-back
+                                 # upcast become plain memcpys (they were
+                                 # the dominant host-side assembly cost).
+                                 # Set "float32" explicitly to keep an f32
+                                 # master copy with reduced-precision
+                                 # transfers.
     steps_per_window: int = 1    # temporal halo blocking: advance K DDIM
                                  # steps per window visit using an enlarged
                                  # halo of pad + patch*(K-1) px, shrinking
@@ -391,7 +410,9 @@ class StreamingGenerator:
 
         if state is None:
             state = HostState(rows, cols, c.tile, c.channels,
-                              memmap_dir=s.memmap_dir)
+                              memmap_dir=s.memmap_dir,
+                              dtype=np.dtype(getattr(
+                                  jnp, s.state_dtype or s.transfer_dtype)))
             resumed = False
             if checkpoint is not None:
                 latest = checkpoint.latest()
@@ -603,6 +624,13 @@ class StreamingGenerator:
             else:
                 out = fn(self._dev_params[device],
                          *(jax.device_put(a, device) for a in args))
+            try:
+                # start the D2H as soon as the compute is enqueued, so the
+                # fetch below finds the bytes already in flight (the link
+                # is full-duplex: this overlaps the next window's upload)
+                out.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
             return out, r0, c0
 
         def fetch_window(pending) -> None:
@@ -617,7 +645,7 @@ class StreamingGenerator:
             ht, wt = r0 * c.tile, c0 * c.tile
             state.write[ht: ht + br * c.tile,
                         wt: wt + bc * c.tile] = \
-                np.asarray(out).astype(np.float32, copy=False)
+                np.asarray(out).astype(state.dtype, copy=False)
 
         def do_window(r0: int, c0: int, device=None) -> None:
             fetch_window(dispatch_window(r0, c0, device))

@@ -351,3 +351,27 @@ def test_streaming_bf16_transfer_close_to_f32():
     # within a few ULP of the f32 sweep
     assert np.max(np.abs(bf16 - f32)) < 0.05
     assert np.mean(np.abs(bf16 - f32)) < 5e-3
+
+
+def test_streaming_bf16_state_bitexact_vs_f32_state():
+    """state_dtype=None stores the host state in the transfer dtype; for
+    bf16 transfers that must be BIT-identical to keeping an f32 master
+    copy (the f32 buffer is cast to bf16 at every upload anyway, so it
+    carries no extra information between round trips)."""
+    gen, gconf = _mk()
+    rows = cols = 2
+    rng = np.random.default_rng(23)
+    gene = (rng.random((rows, cols, gconf.gsz, gconf.gsz, gconf.z_pad,
+                        gconf.gdim)) < 0.05).astype(np.uint8)
+    f32_master = StreamingGenerator(gen, StreamConfig(
+        block_rows=2, block_cols=2, progress=False,
+        transfer_dtype="bfloat16", state_dtype="float32"))
+    bf16_state = StreamingGenerator(gen, StreamConfig(
+        block_rows=2, block_cols=2, progress=False,
+        transfer_dtype="bfloat16"))
+    a = f32_master.run(rows, cols, gene, row0=1, col0=1)
+    b = bf16_state.run(rows, cols, gene, row0=1, col0=1)
+    assert a.read.dtype == np.float32
+    assert b.read.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(a.read, np.float32), np.asarray(b.read, np.float32))
