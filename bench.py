@@ -5,55 +5,113 @@ Baseline: the reference generates the 286x414-tile brain (118,404 tiles) in
 "roughly one week" on an 8-GPU A100 DGX (README.md:72-77) ->
 118404 / (604800 s * 8 GPU) ~= 0.02447 tiles/sec/GPU.
 
-Prints ONE JSON line {metric, value, unit, vs_baseline}.
+Prints JSON lines {metric, value, unit, vs_baseline}; the LAST line is the
+record of note.  Structure (VERDICT r3 ask #1 — the headline must always
+land within the driver budget):
+
+  * the PARENT process never touches the TPU.  It launches the exact-bf16
+    measurement as a CHILD subprocess under a bounded timeout and prints
+    that child's JSON record IMMEDIATELY when it returns;
+  * only then, and only if wall-clock budget remains, it runs the OPTIONAL
+    int8_static deployment-mode child under a ~600 s timeout and re-prints
+    the combined (richer) record as the final line.  A hang or slow compile
+    in the quant lane can no longer take the bf16 headline down with it
+    (round 3 recorded rc=124 / parsed:null exactly that way).
+
+Only one process can hold the TPU, so children run strictly sequentially
+and the parent stays off the device.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-
 REF_TILES_PER_SEC_PER_GPU = 118404 / (604800.0 * 8)
+
+# Overall wall-clock guard: past this deadline the parent stops launching
+# optional children.  The bf16 child gets the remaining budget (capped);
+# if it fails fast (e.g. flaky TPU tunnel) it is retried once with
+# repeats=1 so *some* measured record lands.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", "1500"))
+QUANT_TIMEOUT_S = float(os.environ.get("BENCH_QUANT_TIMEOUT", "600"))
+
+
+def _run_child(env_extra: dict, timeout: float):
+    """Run this file as a measurement child; return (record|None, stderr)."""
+    env = dict(os.environ, BENCH_CHILD="1", **env_extra)
+    try:
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             timeout=max(30.0, timeout))
+    except subprocess.TimeoutExpired as e:
+        return None, f"timeout after {e.timeout:.0f}s"
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        return None, (out.stderr or "")[-2000:]
+    try:
+        return json.loads(lines[-1]), ""
+    except Exception as e:
+        return None, f"unparseable child stdout: {e}"
+
+
+def orchestrate():
+    t0 = time.time()
+
+    def remaining():
+        return DEADLINE_S - (time.time() - t0)
+
+    # 1) exact-bf16 headline FIRST.  Budget: everything up to the deadline
+    #    minus a margin for the (optional) quant lane; never less than 300s.
+    bf16_budget = max(300.0, remaining() - (QUANT_TIMEOUT_S + 60.0))
+    rec, err = _run_child({}, bf16_budget)
+    if rec is None and remaining() > 120:
+        # one retry, minimal repeats — a cold/flaky first backend init is
+        # the dominant observed failure mode (BENCH_r03 tail)
+        rec, err2 = _run_child({"BENCH_REPEATS": "1"},
+                               max(120.0, remaining() - 30.0))
+        err = err or err2
+    if rec is None:
+        # absolute last resort: an honest error record (parsed non-null so
+        # the failure mode is recorded, value 0 so no number is fabricated)
+        rec = {"metric": "256x256x100ch tiles/sec/chip, full 15-step DDIM",
+               "value": 0.0, "unit": "tiles/s/chip", "vs_baseline": 0.0,
+               "error": f"bf16 measurement failed: {err[-500:]}"}
+        print(json.dumps(rec), flush=True)
+        return
+    print(json.dumps(rec), flush=True)  # headline has landed
+
+    # 2) optional int8_static deployment mode (first-class reported mode,
+    #    BASELINE.md quant table; quality gates in tests/test_quant.py).
+    if os.environ.get("BENCH_REPORT_QUANT", "1") != "1":
+        return
+    if remaining() < QUANT_TIMEOUT_S + 30.0:
+        return  # out of budget — headline already printed
+    qrec, _ = _run_child({"BENCH_QUANT": "int8_static"},
+                         min(QUANT_TIMEOUT_S, remaining() - 30.0))
+    if qrec is not None and qrec.get("value"):
+        rec = dict(rec, int8_static=qrec["value"],
+                   int8_static_vs_baseline=qrec["vs_baseline"])
+        print(json.dumps(rec), flush=True)  # richer record last
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
     from tera_mind_tpu.config import prep_config
     from tera_mind_tpu.diffusion.sampler import DiffusionSampler, SamplerConfig
     from tera_mind_tpu.parallel.generator import GeneratorConfig, TeraGenerator
 
     rows = cols = int(os.environ.get("BENCH_TILES", "2"))
     steps = int(os.environ.get("BENCH_STEPS", "15"))
-
-    quant_rec = None
-    if not os.environ.get("BENCH_QUANT") and \
-            os.environ.get("BENCH_REPORT_QUANT", "1") == "1":
-        # ALSO measure the opt-in int8_static deployment mode — in a
-        # subprocess launched BEFORE this process touches the TPU (only
-        # one process can hold the chip; launching it later would
-        # deadlock: parent holds the device while waiting on a child
-        # blocked at backend init).  The headline "value" stays the EXACT
-        # bf16 model (BASELINE.md); the quant rate is a separate,
-        # clearly-labeled field.
-        import subprocess
-        import sys
-        env = dict(os.environ, BENCH_QUANT="int8_static")
-        try:
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 timeout=3600)
-            line = [l for l in out.stdout.splitlines()
-                    if l.startswith("{")]
-            quant_rec = json.loads(line[-1])
-        except Exception:
-            quant_rec = None  # informational; never fail the bench
 
     conf = prep_config("638850", batch=4, size=64, stain="all", srna=4)
     conf.compute_dtype = "bfloat16"
@@ -63,12 +121,12 @@ def main():
     # window_chunk bounds activation memory per model call: a chunk is
     # (windows x patches) UNet batch — block-major batches the whole block
     # per window, so it chunks finer by default
+    wc_env = os.environ.get("BENCH_WINDOW_CHUNK")
     gconf = GeneratorConfig(tile=256, patch=64, gn_blk=16, snum=4,
                             n_slices=50, stains=2, gdim=500,
                             noise_backend="jax",
-                            window_chunk=int(os.environ.get(
-                                "BENCH_WINDOW_CHUNK",
-                                "1" if block_major else "5")))
+                            window_chunk=int(wc_env) if wc_env else
+                            (1 if block_major else 5))
     sampler = DiffusionSampler(
         conf.make_eval_sampler(T=steps).schedule,
         SamplerConfig(patch_size=64, gn_sz=4))
@@ -84,6 +142,7 @@ def main():
         # this is numerically identical but halves param HBM traffic
         params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
 
+    qa = False
     if os.environ.get("BENCH_PACKED", "1") == "1":
         # z-packed layout (DEFAULT): exact re-parameterization that fills
         # TPU lanes — measured 0.137 vs 0.097 tiles/s for the 5D layout
@@ -145,6 +204,7 @@ def main():
         # rejects io_callback), then bake static scales
         from tera_mind_tpu.models.unet_packed import PackedTeraUNet
         from tera_mind_tpu.ops.quant import calibrate_generator
+        pa = os.environ.get("BENCH_PACKED_ATTN", "0") == "1"
         params = calibrate_generator(
             gen, model, params, gene, steps=steps,
             margin=float(os.environ.get("BENCH_CALIB_MARGIN", "1.0")))
@@ -197,11 +257,13 @@ def main():
         "repeats": repeats,
         "spread_pct": round(100 * spread, 1),
     }
-    if quant_rec is not None:
-        rec["int8_static"] = quant_rec["value"]
-        rec["int8_static_vs_baseline"] = quant_rec["vs_baseline"]
-    print(json.dumps(rec))
+    if os.environ.get("BENCH_QUANT"):
+        rec["mode"] = os.environ["BENCH_QUANT"]
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1" or os.environ.get("BENCH_QUANT"):
+        main()
+    else:
+        orchestrate()

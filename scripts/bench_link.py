@@ -20,12 +20,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _fresh(nbytes: int, rng: np.random.Generator) -> np.ndarray:
+    """Incompressible random payload — np.empty pages are mostly zeros,
+    which value-caches/compression in the RPC tunnel can elide (the exact
+    failure mode this probe exists to rule out; ADVICE r3)."""
+    return rng.integers(0, 256, nbytes, np.uint8)
+
+
 def bench_h2d(nbytes: int, reps: int, dev) -> tuple[float, float]:
-    host = np.empty(nbytes, np.uint8)
-    host[::4096] = np.arange(len(host[::4096])) % 251  # defeat value caches
+    rng = np.random.default_rng(0)
     ts = []
     for i in range(reps + 1):
-        host[0] = i  # new value each rep
+        host = _fresh(nbytes, rng)  # new random content each rep
         t0 = time.perf_counter()
         arr = jax.device_put(host, dev)
         arr.block_until_ready()
@@ -37,11 +43,10 @@ def bench_h2d(nbytes: int, reps: int, dev) -> tuple[float, float]:
 
 
 def bench_d2h(nbytes: int, reps: int, dev) -> tuple[float, float]:
-    host = np.empty(nbytes, np.uint8)
+    rng = np.random.default_rng(1)
     ts = []
     for i in range(reps + 1):
-        host[0] = i
-        arr = jax.device_put(host, dev)
+        arr = jax.device_put(_fresh(nbytes, rng), dev)
         arr.block_until_ready()
         t0 = time.perf_counter()
         out = np.asarray(arr)
@@ -55,15 +60,19 @@ def bench_d2h(nbytes: int, reps: int, dev) -> tuple[float, float]:
 def bench_duplex(nbytes: int, reps: int, dev) -> dict:
     """Concurrent H2D + D2H from two threads.  If the link (or the RPC
     tunnel in front of it) is full-duplex / multi-stream, wall ~= the
-    slower direction; if it serializes, wall ~= the sum."""
+    slower direction; if it serializes, wall ~= the sum.
+
+    A FRESH device array is staged (outside the timed region) every rep:
+    jax.Array caches its host copy after the first fetch, so re-reading
+    one array would time zero actual D2H from rep 2 on (ADVICE r3 medium).
+    """
     import threading
-    host_up = np.empty(nbytes, np.uint8)
-    host_up[::4096] = np.arange(len(host_up[::4096])) % 251
-    res = jax.device_put(np.empty(nbytes, np.uint8), dev)
-    res.block_until_ready()
+    rng = np.random.default_rng(2)
     walls = []
     for i in range(reps + 1):
-        host_up[0] = i
+        host_up = _fresh(nbytes, rng)
+        res = jax.device_put(_fresh(nbytes, rng), dev)
+        res.block_until_ready()
         out = {}
 
         def up():
@@ -81,7 +90,7 @@ def bench_duplex(nbytes: int, reps: int, dev) -> dict:
         for x in th:
             x.join()
         walls.append(time.perf_counter() - t0)
-        del out
+        del out, res
     wall = float(np.median(walls[1:]))
     return {"duplex_wall_s": round(wall, 4),
             "duplex_agg_MBps": round(2 * nbytes / wall / 1e6, 1)}
@@ -108,15 +117,14 @@ def bench_compute_overlap(nbytes: int, reps: int, dev) -> dict:
     burn(a, 64).block_until_ready()
     compute_s = time.perf_counter() - t0
 
-    host = np.empty(nbytes, np.uint8)
-    host[::4096] = np.arange(len(host[::4096])) % 251
+    rng = np.random.default_rng(3)
     idle, during = [], []
     for i in range(reps):
-        host[0] = 2 * i
+        host = _fresh(nbytes, rng)
         t0 = time.perf_counter()
         jax.device_put(host, dev).block_until_ready()
         idle.append(time.perf_counter() - t0)
-        host[0] = 2 * i + 1
+        host = _fresh(nbytes, rng)
         fut = burn(a, 64)              # async dispatch
         t0 = time.perf_counter()
         jax.device_put(host, dev).block_until_ready()

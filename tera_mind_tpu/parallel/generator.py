@@ -22,6 +22,7 @@ with stride ``snum//2`` over the z-padded gene stack.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Callable, Optional
 
@@ -81,9 +82,20 @@ class GeneratorConfig:
     stains: int = 2
     gdim: int = 500            # gene panel carried in the gene stack
     noise_backend: str = "torch"  # LCG parity by default
-    window_chunk: int = 0      # z-windows per model call (0 = all at once);
-                               # bounds activation memory: each window is a
+    window_chunk: int = 0      # z-windows per model call (0 = all at once,
+                               # -1 = AUTO: compile_step picks a safe
+                               # (strip_rows, window_chunk) from XLA's
+                               # memory analysis, see auto_plan); bounds
+                               # activation memory: each window is a
                                # (patches_per_tile)-patch UNet batch
+    strip_rows: int = 0        # block-major spatial chunking: tile rows
+                               # per strip (0 = whole block).  Each strip
+                               # is denoised as its own block-major patch
+                               # grid reading its halo from the previous-
+                               # step padded state — numerically identical
+                               # to the full block (the collage mixes only
+                               # adjacent patches), but activation memory
+                               # scales with strip_rows instead of rows
 
     @property
     def pad(self) -> int:
@@ -219,7 +231,7 @@ class TeraGenerator:
         rna = jnp.stack(wins)  # (n_win, gsz, gsz, snum, G)
         rna = rna.reshape(c.n_win, c.gsz, c.gsz, c.snum * g.shape[-1])
 
-        chunk = self.conf.window_chunk or c.n_win
+        chunk = self._wchunk()
         assert c.n_win % chunk == 0, (c.n_win, chunk)
         if chunk == c.n_win:
             rna_pat = patchify(rna, c.patch // c.gn_blk)
@@ -293,7 +305,7 @@ class TeraGenerator:
         assert GH == hp // c.gn_blk and GW == wp // c.gn_blk, \
             (GH, GW, hp, wp, c.gn_blk)
 
-        chunk = self.conf.window_chunk or c.n_win
+        chunk = self._wchunk()
         assert c.n_win % chunk == 0, (c.n_win, chunk)
         t_b = jnp.full((chunk,), t, jnp.int32)
         gn_per_patch = c.patch // c.gn_blk
@@ -320,17 +332,52 @@ class TeraGenerator:
         out = out.reshape(c.n_win, H, W, c.stains, c.zi)
         return out.transpose(1, 2, 3, 0, 4).reshape(H, W, c.channels)
 
+    def _wchunk(self) -> int:
+        """Resolve window_chunk: 0 = all windows at once, -1 (auto, not
+        yet planned) = the safest value 1."""
+        wc = self.conf.window_chunk
+        return self.conf.n_win if wc == 0 else (1 if wc < 0 else wc)
+
     def _block_major_step(self, params, state: jnp.ndarray,
                           gene: jnp.ndarray, t: jnp.ndarray, *,
                           sharded: bool) -> jnp.ndarray:
-        """One timestep over the local block, block-major."""
+        """One timestep over the local block, block-major.
+
+        With ``conf.strip_rows`` set below the block height, the block is
+        processed in row strips: each strip is its own block-major patch
+        grid whose halo rows come from ``padded`` (the PREVIOUS-step
+        state, same as tile-major halo copies), so results are bit-equal
+        to the whole-block grid while activation memory scales with
+        strip_rows — the middle ground between tile-major (strip of 1
+        tile, +56% patches at scale) and whole-block (OOM past ~6x6 on a
+        16 GB chip).
+        """
         c = self.conf
         if sharded:
             padded = exchange_halo_2d(state, c.pad, row_axis=self.row_axis,
                                       col_axis=self.col_axis, fill=-1.0)
         else:
             padded = pad_halo_single(state, c.pad, fill=-1.0)
-        out = self._window_update(params, padded, gene, t)
+        rows, cols = gene.shape[:2]
+        sr = c.strip_rows or rows
+        if sr >= rows:
+            out = self._window_update(params, padded, gene, t)
+        else:
+            assert rows % sr == 0, (rows, sr)
+            nb, hb = c.tile // c.gn_blk, c.pad // c.gn_blk
+            g = assemble_bins(gene, nb, hb)
+            strip_px = sr * c.tile + 2 * c.pad
+            strip_bins = sr * nb + 2 * hb
+
+            def sbody(carry, i):
+                ppad = lax.dynamic_slice_in_dim(
+                    padded, i * sr * c.tile, strip_px, axis=0)
+                gg = lax.dynamic_slice_in_dim(
+                    g, i * sr * nb, strip_bins, axis=0)
+                return carry, self._window_update_bins(params, ppad, gg, t)
+
+            _, strips = lax.scan(sbody, 0, jnp.arange(rows // sr))
+            out = strips.reshape(rows * c.tile, cols * c.tile, c.channels)
         return out.astype(state.dtype)
 
     def _block_step(self, params, state: jnp.ndarray, gene: jnp.ndarray,
@@ -381,15 +428,135 @@ class TeraGenerator:
 
         return step
 
+    # -------------------------------------------------------------- #
+    # memory planning                                                 #
+    # -------------------------------------------------------------- #
+    def auto_plan(self, rows: int, cols: int, *,
+                  state_dtype=jnp.float32, gene_dtype=jnp.uint8,
+                  verbose: bool = True) -> dict:
+        """Pick a safe (strip_rows, window_chunk) for this grid so the
+        block-major step fits HBM out of the box (VERDICT r3 ask #6 — an
+        8x8 in-HBM run used to OOM unless the operator hand-tuned
+        BENCH_WINDOW_CHUNK / fell back to tile-major).
+
+        Strategy: activation memory per model call scales with the patch
+        count, so order candidates (whole block, then row strips of
+        decreasing height, then tile-major) by compute efficiency, keep
+        those within ``TMT_MAX_PATCHES`` patches per call (default 600 —
+        between the measured-good 17x17=289 grid and the measured-OOM
+        33x33=1089 grid on a 16 GB v5e), and on TPU verify the winner
+        against XLA's compiled memory analysis, stepping down on overflow
+        or compile-time RESOURCE_EXHAUSTED.  Mutates ``self.conf`` to the
+        chosen plan and returns it.
+        """
+        import dataclasses as _dc
+        c = self.conf
+        if self.mesh is not None:
+            msh = self.mesh.devices.shape
+            rows = max(1, rows // msh[0])
+            cols = max(1, cols // (msh[1] if len(msh) > 1 else 1))
+        p_max = int(os.environ.get("TMT_MAX_PATCHES", "600"))
+        # patches per z-window for a strip of `sr` tile rows: the padded
+        # strip is (sr*tile + 2*pad) x (cols*tile + 2*pad) px cut into
+        # patch-size cells -> (sr*tile/patch + 1) * (cols*tile/patch + 1)
+        tpp = c.tile // c.patch
+        ppw = lambda sr: (sr * tpp + 1) * (cols * tpp + 1)
+
+        cands = []  # (tile_major, strip_rows, window_chunk), best first
+        for sr in sorted((s for s in range(1, rows + 1) if rows % s == 0),
+                         reverse=True):
+            if ppw(sr) <= p_max:
+                cands.append((False, 0 if sr == rows else sr, 1))
+        ppt = (tpp + 1) ** 2  # tile-major patches per window per tile
+        for wc in sorted((w for w in range(1, c.n_win + 1)
+                          if c.n_win % w == 0), reverse=True):
+            if wc * ppt <= p_max:
+                cands.append((True, 0, wc))
+                break
+        if not cands:
+            cands.append((True, 0, 1))
+
+        platform = jax.devices()[0].platform
+        if platform not in ("tpu", "axon"):
+            # CPU-target AOT compiles are prohibitively slow here and the
+            # host has no comparable memory ceiling: take the analytic pick
+            tm, sr, wc = cands[0]
+        else:
+            budget = None
+            try:
+                stats = jax.devices()[0].memory_stats()
+                budget = int(stats.get("bytes_limit", 0)) or None
+            except Exception:
+                pass
+            budget = int(os.environ.get(
+                "TMT_HBM_BYTES", budget or int(16e9))) * 92 // 100
+            tm, sr, wc = cands[-1]  # safest if every probe fails
+            for tm_, sr_, wc_ in cands:
+                conf2 = _dc.replace(c, strip_rows=sr_, window_chunk=wc_)
+                try:
+                    need = self._plan_bytes(conf2, rows, cols, tm_,
+                                            state_dtype, gene_dtype)
+                except Exception as e:  # compile-time OOM -> next cand
+                    if verbose:
+                        print(f"auto_plan: candidate strip={sr_} wc={wc_} "
+                              f"tile_major={tm_} rejected ({type(e).__name__})",
+                              flush=True)
+                    continue
+                if need is None or need <= budget:
+                    tm, sr, wc = tm_, sr_, wc_
+                    if verbose and need is not None:
+                        print(f"auto_plan: strip={sr or rows} wc={wc} "
+                              f"tile_major={tm} needs {need/1e9:.1f} GB "
+                              f"<= {budget/1e9:.1f} GB", flush=True)
+                    break
+        self.conf = _dc.replace(c, strip_rows=sr, window_chunk=wc)
+        return {"tile_major": tm, "strip_rows": sr, "window_chunk": wc}
+
+    def _plan_bytes(self, conf2, rows: int, cols: int, tile_major: bool,
+                    state_dtype, gene_dtype):
+        """AOT-compile one candidate plan and return its total HBM need
+        (temp + args + output) from XLA's memory analysis, or None when
+        the backend doesn't report one.  Raises on compile failure."""
+        import dataclasses as _dc
+        c = self.conf
+        self.conf = conf2
+        try:
+            body = self._block_step if tile_major else self._block_major_step
+            s = jax.ShapeDtypeStruct(
+                (rows * conf2.tile, cols * conf2.tile, conf2.channels),
+                state_dtype)
+            g = jax.ShapeDtypeStruct(
+                (rows, cols, conf2.gsz, conf2.gsz, conf2.z_pad, conf2.gdim),
+                gene_dtype)
+            t = jax.ShapeDtypeStruct((), jnp.int32)
+            compiled = jax.jit(partial(body, sharded=False)).lower(
+                self.params, s, g, t).compile()
+            try:
+                ma = compiled.memory_analysis()
+                need = (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                        + ma.output_size_in_bytes)
+                return int(need) or None
+            except Exception:
+                return None  # compiled fine; no analysis available
+        finally:
+            self.conf = c
+
     def compile_step(self, rows: int, cols: int, *,
-                     block_major: bool = False):
+                     block_major: bool = False,
+                     state_dtype=jnp.float32, gene_dtype=jnp.uint8):
         """Build the jitted per-step function for a fixed grid shape.
 
         block_major=True uses the single-patch-grid step (one patchify of
         the whole local block; see :meth:`_window_update`) instead of the
         per-tile window scan — same results, ~36% less model compute at
-        scale.
+        scale.  With ``conf.window_chunk == -1`` the memory plan
+        (strip_rows / window_chunk / tile-major fallback) is chosen
+        automatically (:meth:`auto_plan`).
         """
+        if block_major and self.conf.window_chunk < 0:
+            plan = self.auto_plan(rows, cols, state_dtype=state_dtype,
+                                  gene_dtype=gene_dtype)
+            block_major = not plan["tile_major"]
         body = self._block_major_step if block_major else self._block_step
         sharded = self.mesh is not None and np.prod(self.mesh.devices.shape) > 1
         if sharded:
@@ -556,7 +723,10 @@ class TeraGenerator:
         if start_t is None:
             start_t = T
 
-        step = self.compile_step(rows, cols, block_major=block_major) \
+        step = self.compile_step(
+            rows, cols, block_major=block_major,
+            state_dtype=(jnp.dtype(state.dtype) if state is not None
+                         else jnp.float32)) \
             if fused else self.compile_pieces()
         if multiproc and state is not None:
             # resume: `state` is this process's LOCAL block

@@ -165,6 +165,12 @@ def main(argv=None) -> None:
                     help="dryrun mode: only the in-HBM multi-process "
                     "generation check (band streaming / K=2 / dp training "
                     "variants are covered by tests/test_multiprocess.py)")
+    ap.add_argument("--band", action="store_true",
+                    help="with --fast: ALSO run the band-streaming K=1 "
+                    "check (the production multi-host whole-brain mode) "
+                    "before returning — the driver dryrun passes this so "
+                    "MULTICHIP artifacts certify band streaming too "
+                    "(VERDICT r3 ask #9)")
     args = ap.parse_args(argv)
 
     if args.train_ref:
@@ -210,7 +216,7 @@ def main(argv=None) -> None:
           f"(band offset {(h0, w0)}, local {local.shape}, max|diff|={err:.2e})",
           flush=True)
 
-    if args.fast:
+    if args.fast and not args.band:
         return
 
     # ---- band-parallel host-streaming mode (parallel/band.py): each
@@ -232,6 +238,9 @@ def main(argv=None) -> None:
     print(f"[mp_demo] process {args.process_id} band-streaming ok "
           f"(rows {r0_band}..{r0_band + n_band}, max|diff|={err2:.2e})",
           flush=True)
+
+    if args.fast:
+        return  # --fast --band: in-HBM + band-streaming K=1 only
 
     # same, with temporal halo blocking (steps_per_window=2): ghost strips
     # widen to pad + patch px and cross-band gene rows feed the enlarged

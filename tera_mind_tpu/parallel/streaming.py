@@ -80,6 +80,14 @@ class HostState:
                 np.lib.format.open_memmap(d / f"state_{i}.npy", mode="w+",
                                           dtype=self.dtype, shape=shape)
                 for i in range(2)]
+            # NOTE: for ml_dtypes dtypes (bfloat16) numpy writes a raw
+            # 'V2' (void) header, so the .npy files are not self-
+            # describing.  They are in-process scratch (resume goes via
+            # StateCheckpoint), but record the real dtype in a sidecar so
+            # external tooling / debugging can reinterpret them
+            # (ADVICE r3).
+            (d / "state_dtype.txt").write_text(
+                f"{self.dtype}\n{shape}\n")
         self.read_idx = 0
 
     @property

@@ -47,7 +47,9 @@ def pytest_configure(config):
         "markers", "cpu_mesh: needs a multi-device CPU mesh (slow here)")
     config.addinivalue_line(
         "markers", "slow: heavyweight test (flagship-size parity, "
-        "multi-subprocess runs, long quant/stream chains). The default "
-        "fast gate is `pytest -m 'not slow'` (<15 min on this host); run "
-        "the full suite before releases — tier runtimes recorded in "
-        "PARITY.md")
+        "live-torch oracles, training-convergence and multi-subprocess "
+        "runs, long quant/stream chains). The default fast gate is "
+        "`pytest -m 'not slow'`; measured tier runtimes are recorded in "
+        "PARITY.md each round (round 4: fast ~14 min on the single-core "
+        "CPU-mesh fallback host — re-split after round 3 measured 48 min). "
+        "Run the full suite (both tiers) before releases.")

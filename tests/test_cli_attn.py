@@ -23,6 +23,7 @@ def test_pathway_products_math():
     np.testing.assert_allclose(out[..., k:], expr[..., glst], rtol=0)
 
 
+@pytest.mark.slow  # tier re-split r4: >45s on the CPU-mesh gate
 def test_attn_cli_synthetic(tmp_path):
     """--calc_attn + --is_vis on synthetic genes produce tiles, the
     ensemble matrix, and figures (reference test_attn.py two-phase flow)."""

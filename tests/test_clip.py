@@ -42,6 +42,7 @@ def tiny_clip(tmp_path_factory):
     return pt, str(d)
 
 
+@pytest.mark.slow  # tier re-split r4: >45s on the CPU-mesh gate
 def test_flax_clip_matches_torch(tiny_clip):
     """Weight-shared torch-vs-flax image-feature parity at ~1e-5: the exact
     cross-framework evidence VERDICT asked for (reference CLIP_fx,

@@ -115,6 +115,7 @@ def init_params():
         jax.random.PRNGKey(0), x, t, rna, 2, 2)
 
 
+@pytest.mark.slow  # tier re-split r4: >45s on the CPU-mesh gate
 def test_convert_round_trip(init_params):
     model, inputs, params = init_params
     sd = _flax_to_torch_sd(params, TINY)

@@ -62,6 +62,56 @@ def test_nuclei_stats_counts_blobs():
     assert s["count"] == 5 and s["size_mean"] > 0
 
 
+def test_nuclei_stats_cellpose_dispatch(monkeypatch):
+    """The cellpose-backed branch (utils/metrics.py:153-199) has never run
+    in this env (cellpose absent); inject a fake ``cellpose.models`` module
+    so the REAL dispatch (_segment_cellpose -> model.eval -> downstream
+    label stats) executes end-to-end (VERDICT r3 ask #8)."""
+    import sys
+    import types
+
+    calls = {}
+    known = np.zeros((32, 32), np.int32)
+    known[2:10, 2:10] = 1     # 64 px
+    known[20:28, 20:30] = 2   # 80 px
+
+    class FakeCellpose:
+        def __init__(self, model_type=None):
+            calls["model_type"] = model_type
+
+        def eval(self, imgs, diameter=None, channels=None):
+            calls["imgs"] = imgs
+            calls["channels"] = channels
+            return [known], None, None, None
+
+    models_mod = types.ModuleType("cellpose.models")
+    models_mod.Cellpose = FakeCellpose
+    pkg = types.ModuleType("cellpose")
+    pkg.models = models_mod
+    monkeypatch.setitem(sys.modules, "cellpose", pkg)
+    monkeypatch.setitem(sys.modules, "cellpose.models", models_mod)
+
+    img = np.linspace(0, 1, 32 * 32, dtype=np.float32).reshape(32, 32)
+    st = nuclei_stats(img, use_cellpose=True)
+
+    # the fake model was really dispatched with the 0-255-scaled image
+    assert calls["model_type"] == "nuclei"
+    assert calls["channels"] == [0, 0]
+    np.testing.assert_allclose(calls["imgs"][0], img * 255)
+    # downstream stats come from the fake masks, not the classical path
+    assert st.count == 2
+    assert sorted(st.sizes.tolist()) == [64.0, 80.0]
+    np.testing.assert_allclose(
+        st.intensities, [img[known == 1].mean(), img[known == 2].mean()],
+        rtol=1e-6)
+
+    # and with the module absent the dispatch falls back to classical
+    monkeypatch.delitem(sys.modules, "cellpose")
+    monkeypatch.delitem(sys.modules, "cellpose.models")
+    st2 = nuclei_stats(img, use_cellpose=True)
+    assert st2.count != 2 or sorted(st2.sizes.tolist()) != [64.0, 80.0]
+
+
 def test_torchscript_features_end_to_end(tmp_path):
     """TorchscriptFeatures drives a real torch.jit archive (the reference's
     NVlabs-InceptionV3 loading path, feat_mba.py:29-42) through the full

@@ -170,6 +170,60 @@ def test_block_major_matches_tile_path_chunked(setup):
     np.testing.assert_allclose(chunked, full, atol=1e-6)
 
 
+def test_strip_major_matches_block_major(setup):
+    """Row-strip block-major (the OOM-proof middle ground, conf.strip_rows)
+    == whole-block block-major: each strip reads its halo rows from the
+    previous-step padded state, exactly like tile-major halo copies."""
+    import dataclasses
+    sampler, gen, _ = setup
+    rng = np.random.default_rng(11)
+    _, gene = _consistent_gene(rng, 4, 2)
+    gen4 = TeraGenerator(sampler, leaky_model, GCONF)
+    state = gen4.init_state(4, 2, row0=1, col0=1, grid_w=16)
+    full = np.asarray(gen4.compile_step(4, 2, block_major=True)(
+        jnp.asarray(state), jnp.asarray(gene), jnp.int32(1)))
+    for sr in (1, 2):
+        gconf_s = dataclasses.replace(GCONF, strip_rows=sr, window_chunk=1)
+        gen_s = TeraGenerator(sampler, leaky_model, gconf_s)
+        got = np.asarray(gen_s.compile_step(4, 2, block_major=True)(
+            jnp.asarray(state), jnp.asarray(gene), jnp.int32(1)))
+        np.testing.assert_allclose(got, full, atol=1e-6), sr
+
+
+def test_auto_plan_picks_safe_chunk(setup, monkeypatch):
+    """window_chunk=-1 (the CLI default) auto-plans: under a tight
+    TMT_MAX_PATCHES budget the planner falls back to row strips and the
+    step still produces the whole-block result (VERDICT r3 ask #6)."""
+    import dataclasses
+    sampler, gen, _ = setup
+    rng = np.random.default_rng(12)
+    _, gene = _consistent_gene(rng, 4, 2)
+    gen4 = TeraGenerator(sampler, leaky_model, GCONF)
+    state = gen4.init_state(4, 2, row0=1, col0=1, grid_w=16)
+    full = np.asarray(gen4.compile_step(4, 2, block_major=True)(
+        jnp.asarray(state), jnp.asarray(gene), jnp.int32(1)))
+
+    # ppw: strip of 4 rows = 9*5... with tile=32/patch=16 (tpp=2):
+    # ppw(4)=9*5=45, ppw(2)=5*5=25, ppw(1)=3*5=15 -> budget 30 forces
+    # strips of <=2 rows
+    monkeypatch.setenv("TMT_MAX_PATCHES", "30")
+    gconf_a = dataclasses.replace(GCONF, window_chunk=-1)
+    gen_a = TeraGenerator(sampler, leaky_model, gconf_a)
+    step = gen_a.compile_step(4, 2, block_major=True)
+    assert gen_a.conf.strip_rows == 2 and gen_a.conf.window_chunk == 1, \
+        gen_a.conf
+    got = np.asarray(step(jnp.asarray(state), jnp.asarray(gene),
+                          jnp.int32(1)))
+    np.testing.assert_allclose(got, full, atol=1e-6)
+
+    # an impossible budget degrades to tile-major (still correct)
+    monkeypatch.setenv("TMT_MAX_PATCHES", "1")
+    gen_t = TeraGenerator(sampler, leaky_model,
+                          dataclasses.replace(GCONF, window_chunk=-1))
+    plan = gen_t.auto_plan(4, 2)
+    assert plan["tile_major"]
+
+
 def test_block_major_real_unet():
     """Block-major == tile path through the REAL TeraUNet (tiny config):
     the proof that to_collage on the global grid equals per-tile collage

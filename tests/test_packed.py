@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from pathlib import Path
 
 GOLDEN = Path(__file__).parent / "golden" / "teraunet_tiny.npz"
@@ -236,6 +237,7 @@ def test_packed_attn_token_order_equivalent():
                                rtol=1e-3 if tpu else 1e-4)
 
 
+@pytest.mark.slow  # tier re-split r4: >45s on the CPU-mesh gate
 def test_packed_attn_with_quant():
     """packed_attn composes with the int8 path (quant_attn): weight/
     activation quantization is order-free (abs-max over a permutation is
@@ -272,6 +274,7 @@ def test_packed_attn_with_quant():
         assert np.corrcoef(u.ravel(), v.ravel())[0, 1] > 0.999
 
 
+@pytest.mark.slow  # tier re-split r4: >45s on the CPU-mesh gate
 def test_packed_attn_from_5d_training_grads():
     """packed_attn composes with from_5d (the training path): outputs and
     gradients track the plain from_5d model, so --packed --packed_attn

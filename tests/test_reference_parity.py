@@ -92,6 +92,7 @@ def test_forward_parity_tiny(tiny_pair):
     assert mae_orig < FWD_TOL, f"original decoder MAE {mae_orig}"
 
 
+@pytest.mark.slow  # tier re-split r4: >45s on the CPU-mesh gate
 def test_ddim_single_step_parity(tiny_pair):
     """denoise_step == reference sample(idx=...) on a 2x2-tile state
     (the tera-scale inner op, reference test_brn.py:209-217)."""
@@ -194,6 +195,7 @@ def test_forward_parity_flagship_size(tmp_path):
     assert mae_orig < 1e-3, f"flagship original MAE {mae_orig}"
 
 
+@pytest.mark.slow  # tier re-split r4: >45s on the CPU-mesh gate
 def test_training_loss_parity(tiny_pair, monkeypatch):
     """Dual-decoder patch-block training loss vs reference training_losses
     (base.py:181-289), same noise, same crop origin, same timestep."""

@@ -47,14 +47,26 @@ def test_trainer_save_restore_roundtrip(tmp_path):
     state2 = tr2.fit(it2, max_steps=3, log_every=10, metrics=False)
     assert int(state2.step) == 3  # resumed at 2, ran one more
 
-    # restored params at step 2 equal the saved ones
+    # fit() always saves at the end (save_last semantics, reference
+    # ModelCheckpoint(save_last=True)) — the LATEST checkpoint is now the
+    # final step-3 state, bit-equal to what fit returned
     restored = tr2.restore(state)
+    assert int(restored.step) == 3
     d = jax.tree.map(lambda a, b: float(jnp.abs(
         jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32)).max()),
-        restored.params, state.params)
+        restored.params, state2.params)
     assert max(jax.tree.leaves(d)) == 0.0
 
+    # the step-2 mid-run save is still there and equals fit #1's result
+    import orbax.checkpoint as ocp
+    restored2 = tr2._mgr().restore(2, args=ocp.args.StandardRestore(state))
+    d2 = jax.tree.map(lambda a, b: float(jnp.abs(
+        jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32)).max()),
+        restored2.params, state.params)
+    assert max(jax.tree.leaves(d2)) == 0.0
 
+
+@pytest.mark.slow  # tier re-split r4: >45s on the CPU-mesh gate
 def test_restored_tree_runs_packed(tmp_path):
     """A checkpoint written by the 5D trainer drives the packed-compute
     trainer unchanged (the from_5d interchangeability guarantee)."""

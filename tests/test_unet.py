@@ -23,6 +23,7 @@ def tiny_model():
     return model, params
 
 
+@pytest.mark.slow  # tier re-split r4: >45s on the CPU-mesh gate
 def test_forward_shapes_train_grid(tiny_model):
     model, params = tiny_model
     b, p1, p2 = 2, 2, 2
