@@ -32,7 +32,13 @@ def run_inhbm(tiles: int, block_major: bool = True,
     env = dict(os.environ)
     env.update({"BENCH_TILES": str(tiles),
                 "BENCH_STEPS": str(STEPS.get(tiles, 3)),
-                "BENCH_BLOCK_MAJOR": "1" if block_major else "0"})
+                "BENCH_BLOCK_MAJOR": "1" if block_major else "0",
+                # measure inline in THIS subprocess (bench.py without
+                # BENCH_CHILD orchestrates its own children + quant lane)
+                "BENCH_CHILD": "1"})
+    # default the in-HBM points to the auto memory plan (window_chunk=-1:
+    # strip-major fallback instead of OOM at 8x8+, generator.auto_plan)
+    env.setdefault("BENCH_WINDOW_CHUNK", "-1")
     if quant:
         env["BENCH_QUANT"] = quant
     out = subprocess.run([sys.executable, str(ROOT / "bench.py")], env=env,

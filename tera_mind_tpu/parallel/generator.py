@@ -439,15 +439,18 @@ class TeraGenerator:
         8x8 in-HBM run used to OOM unless the operator hand-tuned
         BENCH_WINDOW_CHUNK / fell back to tile-major).
 
-        Strategy: activation memory per model call scales with the patch
-        count, so order candidates (whole block, then row strips of
-        decreasing height, then tile-major) by compute efficiency, keep
-        those within ``TMT_MAX_PATCHES`` patches per call (default 600 —
-        between the measured-good 17x17=289 grid and the measured-OOM
-        33x33=1089 grid on a 16 GB v5e), and on TPU verify the winner
-        against XLA's compiled memory analysis, stepping down on overflow
-        or compile-time RESOURCE_EXHAUSTED.  Mutates ``self.conf`` to the
-        chosen plan and returns it.
+        Strategy: activation memory AND per-patch conv efficiency both
+        scale with the patch count per model call, so order the strip
+        candidates by distance from the measured throughput sweet spot
+        (``TMT_TARGET_PATCHES``, default 160: v5e ladder measured 81
+        patches/call -> 0.159, 165 -> 0.145, 289 -> 0.139, 297 -> 0.137
+        tiles/s — big batches pressure HBM working sets), drop any above
+        ``TMT_MAX_PATCHES`` (default 600 — between the measured-good
+        289-patch grid and the measured-OOM 1089-patch grid on a 16 GB
+        v5e), and on TPU verify the winner against XLA's compiled memory
+        analysis, stepping down on overflow or compile-time
+        RESOURCE_EXHAUSTED.  Mutates ``self.conf`` to the chosen plan and
+        returns it.
         """
         import dataclasses as _dc
         c = self.conf
@@ -456,6 +459,7 @@ class TeraGenerator:
             rows = max(1, rows // msh[0])
             cols = max(1, cols // (msh[1] if len(msh) > 1 else 1))
         p_max = int(os.environ.get("TMT_MAX_PATCHES", "600"))
+        p_tgt = int(os.environ.get("TMT_TARGET_PATCHES", "160"))
         # patches per z-window for a strip of `sr` tile rows: the padded
         # strip is (sr*tile + 2*pad) x (cols*tile + 2*pad) px cut into
         # patch-size cells -> (sr*tile/patch + 1) * (cols*tile/patch + 1)
@@ -464,7 +468,7 @@ class TeraGenerator:
 
         cands = []  # (tile_major, strip_rows, window_chunk), best first
         for sr in sorted((s for s in range(1, rows + 1) if rows % s == 0),
-                         reverse=True):
+                         key=lambda s: (abs(ppw(s) - p_tgt), -s)):
             if ppw(sr) <= p_max:
                 cands.append((False, 0 if sr == rows else sr, 1))
         ppt = (tpp + 1) ** 2  # tile-major patches per window per tile
