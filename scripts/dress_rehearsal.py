@@ -194,7 +194,10 @@ def synth(root: Path) -> None:
 # ------------------------------------------------------------------ #
 def run_cli(args: list[str], cwd: Path, log: Path) -> float:
     env = dict(os.environ)
-    env["PYTHONPATH"] = str(ROOT)
+    # APPEND the repo (keep the platform's sitecustomize path — replacing
+    # PYTHONPATH drops the TPU plugin registration here)
+    env["PYTHONPATH"] = str(ROOT) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    str(ROOT / ".cache" / "jax"))
     t0 = time.time()
@@ -212,6 +215,11 @@ def main():
     ap.add_argument("--steps", type=int, default=200,
                     help="training steps (each = one effective batch)")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--net_ch", type=int, default=32,
+                    help="model width for the rehearsal (the seams under "
+                    "test — formats, CLIs, ckpt handoff — are width-"
+                    "independent; the flagship 64-width model's trace+"
+                    "remote-compile alone exceeds this host's budget)")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing checkpoint")
     ap.add_argument("--fresh", action="store_true",
@@ -236,7 +244,8 @@ def main():
         times["train_s"] = round(run_cli(
             ["tera_mind_tpu.cli.train", "--mouse", MOUSE,
              "--data_path", "data", "--batch", str(args.batch),
-             "--max_steps", str(args.steps), "--packed"],
+             "--max_steps", str(args.steps), "--packed",
+             "--net_ch", str(args.net_ch)],
             cwd=root, log=log), 1)
         assert ckpt.exists(), f"train left no orbax ckpt at {ckpt}"
 

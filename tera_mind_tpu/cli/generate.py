@@ -184,7 +184,15 @@ def main():
     from ..parallel.generator import GeneratorConfig, TeraGenerator
 
     if args.ckpt_pth is not None:
-        conf = config_from_name(args.ckpt_pth.parent.name)
+        # prefer the config.json the trainer persisted next to the ckpt
+        # (exact round trip incl. fields the run name does not encode,
+        # e.g. net_ch); fall back to the reference run-name convention
+        cj = args.ckpt_pth.parent / "config.json"
+        if cj.exists():
+            from ..config import TrainConfig
+            conf = TrainConfig.load(cj)
+        else:
+            conf = config_from_name(args.ckpt_pth.parent.name)
     else:
         conf = prep_config(args.mouse)
     conf.compute_dtype = "bfloat16"

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--data_path", type=str, default="",
                     help="root of per-tile gene npz + image files")
     ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--net_ch", type=int, default=None,
+                    help="override the base channel width (preset: 64). "
+                    "The width is persisted in the run's config.json, "
+                    "which cli.generate prefers over run-name parsing")
     ap.add_argument("--synthetic", action="store_true",
                     help="train on the synthetic fixture (smoke runs)")
     ap.add_argument("--packed", action="store_true",
@@ -45,6 +49,8 @@ def main():
     conf = prep_config(args.mouse, batch=args.batch, size=args.patch,
                        stain=args.stain, nrna=nrna, srna=args.rna_slc,
                        method=args.method, data_path=args.data_path)
+    if args.net_ch:
+        conf.net_ch = args.net_ch
     conf.packed_compute = args.packed
     conf.packed_attn = args.packed_attn
 
@@ -60,10 +66,16 @@ def main():
         from pathlib import Path
         gene_files = sorted(Path(conf.data_path).glob("gene_*/*.npz"))
         assert gene_files, f"no gene npz under {conf.data_path}"
+        # one dataset pass must yield at least one EFFECTIVE batch, or the
+        # epoch loop spins forever decoding a too-short pass and dropping
+        # it (drop_last) — caught by the dress rehearsal on a 4-tile
+        # dataset with effective batch 64
+        repeat = max(10, -(-2 * conf.batch_size_effective
+                           // len(gene_files)))
         ds = MerfishTrainDataset(gene_files, gdim=500,
                                  gblk=conf.gn_blk, crop=4 * args.patch,
                                  snum=args.rna_slc, stain=args.stain,
-                                 pad_bins=conf.gn_sz // 2)
+                                 pad_bins=conf.gn_sz // 2, repeat=repeat)
 
     trainer = Trainer(conf)
     max_steps = args.max_steps or conf.total_samples
@@ -73,7 +85,16 @@ def main():
         # harness scans them as accum microbatches of `batch` samples each
         # (reference accumulate_grad_batches semantics, config.py:172-174)
         while True:
-            yield from batches(ds, conf.batch_size_effective)
+            n = 0
+            for b in batches(ds, conf.batch_size_effective):
+                n += 1
+                yield b
+            if n == 0:
+                raise RuntimeError(
+                    f"dataset pass ({len(ds)} samples) yielded no "
+                    f"effective batch of {conf.batch_size_effective} — "
+                    "fewer samples than batch*accum; raise `repeat` or "
+                    "shrink the batch")
 
     trainer.fit(epochs(), max_steps=max_steps)
 
