@@ -50,6 +50,7 @@ def pytest_configure(config):
         "live-torch oracles, training-convergence and multi-subprocess "
         "runs, long quant/stream chains). The default fast gate is "
         "`pytest -m 'not slow'`; measured tier runtimes are recorded in "
-        "PARITY.md each round (round 4: fast ~14 min on the single-core "
-        "CPU-mesh fallback host — re-split after round 3 measured 48 min). "
-        "Run the full suite (both tiers) before releases.")
+        "PARITY.md each round (round 4: fast 17:41, slow 1:11:12 on the "
+        "single-core CPU-mesh fallback host, both green — re-split after "
+        "round 3 measured the fast tier at 48 min). Run the full suite "
+        "(both tiers) before releases.")
