@@ -75,13 +75,15 @@ def orchestrate():
                                max(120.0, remaining() - 30.0))
         err = err or err2
     if rec is None:
-        # absolute last resort: an honest error record (parsed non-null so
-        # the failure mode is recorded, value 0 so no number is fabricated)
+        # absolute last resort: an honest FAILURE record — value null (not
+        # 0.0, which numeric consumers could ingest as a measured rate) and
+        # a nonzero exit so callers cannot mistake it for a measurement
+        # (ADVICE r4)
         rec = {"metric": "256x256x100ch tiles/sec/chip, full 15-step DDIM",
-               "value": 0.0, "unit": "tiles/s/chip", "vs_baseline": 0.0,
+               "value": None, "unit": "tiles/s/chip", "vs_baseline": None,
                "error": f"bf16 measurement failed: {err[-500:]}"}
         print(json.dumps(rec), flush=True)
-        return
+        sys.exit(1)
     print(json.dumps(rec), flush=True)  # headline has landed
 
     # 2) optional int8_static deployment mode (first-class reported mode,

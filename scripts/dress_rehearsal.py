@@ -18,13 +18,18 @@ operator would:
   3. generate  — ``cli.generate --stream`` restoring that orbax ckpt, gene
                  provider reading the inference ``.npz`` files, host-
                  streamed state, bf16 transfers -> fp16 tile store.
-  4. assemble  — ``cli.assemble`` -> pyramidal OME-BigTIFF per slice via
+  4. generate (int8_static) — the same command with ``--quant
+                 int8_static``: the promoted deployment mode through the
+                 same CLI seams, on the TRAINED weights; its tiles are
+                 compared against the bf16 lane (chain-quality on trained
+                 weights, VERDICT r4 ask #4).
+  5. assemble  — ``cli.assemble`` -> pyramidal OME-BigTIFF per slice via
                  the native C++ writer.
-  5. evaluate  — ``cli.evaluate`` gen-vs-real: pool-FID, PSNR/SSIM/MS-SSIM,
-                 JSON report.
+  6. evaluate  — ``cli.evaluate`` gen-vs-real for BOTH lanes: pool-FID,
+                 PSNR/SSIM/MS-SSIM, JSON reports.
 
 Wall-times per phase are recorded and printed as a JSON summary (the
-recorded run lives in docs/DRESS_REHEARSAL.md).
+recorded round-5 run lives in docs/DRESS_REHEARSAL.md).
 
 Usage:  python scripts/dress_rehearsal.py [--root .cache/rehearsal]
             [--steps 200] [--skip_train] [--fresh]
@@ -245,26 +250,57 @@ def main():
             ["tera_mind_tpu.cli.train", "--mouse", MOUSE,
              "--data_path", "data", "--batch", str(args.batch),
              "--max_steps", str(args.steps), "--packed",
-             "--net_ch", str(args.net_ch)],
+             "--workers", "2", "--net_ch", str(args.net_ch)],
             cwd=root, log=log), 1)
         assert ckpt.exists(), f"train left no orbax ckpt at {ckpt}"
 
+    def generate(out_tiles: Path, extra: list[str]) -> float:
+        return run_cli(
+            ["tera_mind_tpu.cli.generate", "--mouse", MOUSE,
+             "--ckpt_pth", str(ckpt),
+             "--data_path", str(root / "data" / "tst" / f"gene_{MOUSE}"),
+             "--hst", str(HST), "--wst", str(WST),
+             "--hnm", str(GEN_ROWS), "--wnm", str(GEN_COLS),
+             "--stream", "--stream_block", "2",
+             "--stream_dtype", "bfloat16", "--seed_backend", "jax",
+             "--out_dir", str(out_tiles)] + extra,
+            cwd=root, log=log)
+
+    def check_tiles(out_tiles: Path) -> list[Path]:
+        tiles = sorted(out_tiles.glob("*.npy"))
+        assert len(tiles) == GEN_ROWS * GEN_COLS, tiles
+        a = np.load(tiles[0])
+        assert a.shape == (256, 256, 100) and np.isfinite(
+            a.astype(np.float32)).all(), (a.shape, a.dtype)
+        return tiles
+
     out_tiles = root / "out" / "tiles"
-    times["generate_s"] = round(run_cli(
-        ["tera_mind_tpu.cli.generate", "--mouse", MOUSE,
-         "--ckpt_pth", str(ckpt),
-         "--data_path", str(root / "data" / "tst" / f"gene_{MOUSE}"),
-         "--hst", str(HST), "--wst", str(WST),
-         "--hnm", str(GEN_ROWS), "--wnm", str(GEN_COLS),
-         "--stream", "--stream_block", "2",
-         "--stream_dtype", "bfloat16", "--seed_backend", "jax",
-         "--out_dir", str(out_tiles)],
-        cwd=root, log=log), 1)
-    tiles = sorted(out_tiles.glob("*.npy"))
-    assert len(tiles) == GEN_ROWS * GEN_COLS, tiles
-    a = np.load(tiles[0])
-    assert a.shape == (256, 256, 100) and np.isfinite(
-        a.astype(np.float32)).all(), (a.shape, a.dtype)
+    times["generate_s"] = round(generate(out_tiles, []), 1)
+    tiles = check_tiles(out_tiles)
+
+    # int8_static deployment lane through the SAME CLI seams (the
+    # promoted mode, BASELINE.md int8 story), on the trained weights
+    out_int8 = root / "out" / "tiles_int8"
+    times["generate_int8_s"] = round(
+        generate(out_int8, ["--quant", "int8_static"]), 1)
+    tiles_q = check_tiles(out_int8)
+
+    # trained-weights chain quality: int8_static vs exact-bf16 tiles
+    # (the gates in BASELINE.md were measured on random weights; this is
+    # the same comparison on a genuinely trained checkpoint)
+    diffs, ga, gb = [], [], []
+    for a_p, b_p in zip(tiles, tiles_q):
+        x = np.load(a_p).astype(np.float32)
+        y = np.load(b_p).astype(np.float32)
+        diffs.append(np.abs(x - y).ravel())
+        ga.append(x.ravel())
+        gb.append(y.ravel())
+    d = np.concatenate(diffs)
+    corr = float(np.corrcoef(np.concatenate(ga), np.concatenate(gb))[0, 1])
+    int8_vs_bf16 = {"mean_abs": round(float(d.mean()), 5),
+                    "p99": round(float(np.percentile(d, 99)), 4),
+                    "max": round(float(d.max()), 4),
+                    "corr": round(corr, 5)}
 
     times["assemble_s"] = round(run_cli(
         ["tera_mind_tpu.cli.assemble", "--gdir", str(out_tiles),
@@ -276,20 +312,27 @@ def main():
     wsis = sorted((root / "out" / "wsi").glob("*.tif*"))
     assert wsis, "assemble produced no WSIs"
 
-    report = root / "out" / "report.json"
-    times["evaluate_s"] = round(run_cli(
-        ["tera_mind_tpu.cli.evaluate", "--gen_dir", str(out_tiles),
-         "--real_dir", str(root / "data" / "real_tiles"),
-         "--report", str(report)],
-        cwd=root, log=log), 1)
-    rep = json.loads(report.read_text())
+    def evaluate(gen_dir: Path, report: Path) -> float:
+        return run_cli(
+            ["tera_mind_tpu.cli.evaluate", "--gen_dir", str(gen_dir),
+             "--real_dir", str(root / "data" / "real_tiles"),
+             "--report", str(report)],
+            cwd=root, log=log)
 
+    report = root / "out" / "report.json"
+    times["evaluate_s"] = round(evaluate(out_tiles, report), 1)
+    rep = json.loads(report.read_text())
+    report_q = root / "out" / "report_int8.json"
+    times["evaluate_int8_s"] = round(evaluate(out_int8, report_q), 1)
+    rep_q = json.loads(report_q.read_text())
+
+    keys = ("n_tiles", "pool_fid", "psnr", "ssim")
     summary = {"phases_s": times,
                "train_steps": 0 if args.skip_train else args.steps,
                "n_tiles": len(tiles), "n_wsis": len(wsis),
-               "eval": {k: rep[k] for k in
-                        ("n_tiles", "pool_fid", "psnr", "ssim")
-                        if k in rep}}
+               "eval": {k: rep[k] for k in keys if k in rep},
+               "eval_int8": {k: rep_q[k] for k in keys if k in rep_q},
+               "int8_vs_bf16": int8_vs_bf16}
     (root / "summary.json").write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary))
 

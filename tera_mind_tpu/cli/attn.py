@@ -91,6 +91,9 @@ def _calc(args, conf):
     import jax
     import jax.numpy as jnp
 
+    from ._backend import init_backend
+    init_backend()
+
     from ..constants import MALL
     from ..data.tilestore import TileStore, tile_name
     from ..models.unet_attn import GeneAttnExtractor, extractor_params_from_unet

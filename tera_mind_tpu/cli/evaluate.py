@@ -100,6 +100,9 @@ def main():
         # paired PSNR/SSIM/MS-SSIM (reference metrics.py:201-541); jitted
         # once per shape (eager per-op dispatch is pathological here)
         import jax
+
+        from ._backend import init_backend
+        init_backend()
         psnr_j = jax.jit(lambda a, b: psnr(a, b, 2.0))
         ssim_j = jax.jit(lambda a, b: ssim(a, b, data_range=2.0))
         msssim_j = jax.jit(lambda a, b: ms_ssim(a, b, data_range=2.0))

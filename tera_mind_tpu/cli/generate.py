@@ -129,10 +129,12 @@ def main():
                     "same as --stream_dtype)")
     ap.add_argument("--window_chunk", type=int, default=-1,
                     help="z-windows per model call (activation-memory "
-                    "bound). Default -1 = AUTO: the generator derives a "
-                    "safe (strip_rows, window_chunk) plan from the grid "
-                    "size and XLA's memory analysis, so big in-HBM ROIs "
-                    "run out of the box instead of OOMing")
+                    "bound). Default -1 = AUTO: the in-HBM generator "
+                    "derives a safe (strip_rows, window_chunk) plan from "
+                    "the grid size and XLA's memory analysis; --stream "
+                    "resolves it analytically per block size (chunk 5 at "
+                    "the default 2x2 block — the measured tunneled-host "
+                    "optimum, BASELINE.md)")
     ap.add_argument("--tile_major", action="store_true",
                     help="per-tile window processing (the reference's "
                     "layout); default is block-major — one patch grid over "
@@ -170,6 +172,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from ._backend import init_backend
+    init_backend()
 
     from ..parallel.mesh import multihost_init
     multihost_init(coordinator=args.coordinator,

@@ -8,6 +8,31 @@ Usage:
 from __future__ import annotations
 
 import argparse
+from pathlib import Path
+
+
+def epoch_batches(ds, eff_batch: int, *, workers: int = 0):
+    """Endless effective-batch iterator over dataset passes.
+
+    The loader yields EFFECTIVE batches (batch * accum samples); the
+    harness scans them as accum microbatches of `batch` samples each
+    (reference accumulate_grad_batches semantics, config.py:172-174).
+    A pass shorter than one effective batch raises instead of spinning
+    forever decoding-and-dropping (drop_last) — the silent-hang bug the
+    round-4 dress rehearsal caught on a 4-tile dataset with effective
+    batch 64 (regression: tests/test_cli_robustness.py).
+    """
+    from ..data.dataset import batches
+    while True:
+        n = 0
+        for b in batches(ds, eff_batch, workers=workers):
+            n += 1
+            yield b
+        if n == 0:
+            raise RuntimeError(
+                f"dataset pass ({len(ds)} samples) yielded no "
+                f"effective batch of {eff_batch} — fewer samples than "
+                "batch*accum; raise `repeat` or shrink the batch")
 
 
 def main():
@@ -32,6 +57,18 @@ def main():
                     "which cli.generate prefers over run-name parsing")
     ap.add_argument("--synthetic", action="store_true",
                     help="train on the synthetic fixture (smoke runs)")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="loader worker PROCESSES decoding samples in "
+                    "parallel (0 = one background IO thread). Decode "
+                    "costs ~72 ms/sample/core (BASELINE.md), so feeding "
+                    "one chip at full rate needs >=4 workers on a "
+                    "production host")
+    ap.add_argument("--pretrain", type=Path, default=None,
+                    help="initialize (not resume) from a checkpoint: a "
+                    "torch Lightning .ckpt (converted, ema_model keys "
+                    "stripped — reference experiment.py:50-58) or an "
+                    "orbax dir written by a previous run. Optimizer "
+                    "state and step start fresh")
     ap.add_argument("--packed", action="store_true",
                     help="z-packed compute layout with exact 5D params "
                     "(~40%% faster convs on TPU; checkpoints identical)")
@@ -40,6 +77,9 @@ def main():
                     "packed layout (reassociation-equivalent; same "
                     "weight class)")
     args = ap.parse_args()
+
+    from ._backend import init_backend
+    init_backend()
 
     from ..config import prep_config
     from ..constants import M2H
@@ -54,8 +94,7 @@ def main():
     conf.packed_compute = args.packed
     conf.packed_attn = args.packed_attn
 
-    from ..data.dataset import (MerfishTrainDataset, SyntheticDataset,
-                                batches)
+    from ..data.dataset import MerfishTrainDataset, SyntheticDataset
     from ..training.harness import Trainer
 
     if args.synthetic:
@@ -63,7 +102,6 @@ def main():
                               gdim=conf.rna_num, snum=args.rna_slc,
                               stain=args.stain, pad_bins=conf.gn_sz // 2)
     else:
-        from pathlib import Path
         gene_files = sorted(Path(conf.data_path).glob("gene_*/*.npz"))
         assert gene_files, f"no gene npz under {conf.data_path}"
         # one dataset pass must yield at least one EFFECTIVE batch, or the
@@ -78,25 +116,16 @@ def main():
                                  pad_bins=conf.gn_sz // 2, repeat=repeat)
 
     trainer = Trainer(conf)
+    state = None
+    if args.pretrain is not None:
+        from ..convert import load_pretrain_params
+        params = load_pretrain_params(args.pretrain, conf.make_model_conf())
+        state = trainer.state_from_params(params)
+        print(f"pretrained init from {args.pretrain}", flush=True)
     max_steps = args.max_steps or conf.total_samples
-
-    def epochs():
-        # the loader yields EFFECTIVE batches (batch * accum samples); the
-        # harness scans them as accum microbatches of `batch` samples each
-        # (reference accumulate_grad_batches semantics, config.py:172-174)
-        while True:
-            n = 0
-            for b in batches(ds, conf.batch_size_effective):
-                n += 1
-                yield b
-            if n == 0:
-                raise RuntimeError(
-                    f"dataset pass ({len(ds)} samples) yielded no "
-                    f"effective batch of {conf.batch_size_effective} — "
-                    "fewer samples than batch*accum; raise `repeat` or "
-                    "shrink the batch")
-
-    trainer.fit(epochs(), max_steps=max_steps)
+    trainer.fit(epoch_batches(ds, conf.batch_size_effective,
+                              workers=args.workers),
+                max_steps=max_steps, state=state)
 
 
 if __name__ == "__main__":

@@ -96,6 +96,28 @@ def load_torch_state_dict(path: str | Path) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_pretrain_params(path: str | Path, conf: TeraUNetConfig) -> Dict:
+    """Parameters to INITIALIZE training from (the reference's
+    pretrain/``continue_from`` seam, experiment.py:50-58, 464-473):
+    either a torch Lightning ``.ckpt`` (converted here; ``ema_model``
+    keys dropped by :func:`load_torch_state_dict`, exactly as the
+    reference strips them) or an orbax CheckpointManager dir written by
+    ``Trainer.save``.  Returns the flax param tree (5D TeraUNet layout,
+    consumed as-is by both TeraUNet and PackedTeraUNet(from_5d=True))."""
+    path = Path(path)
+    if path.suffix == ".ckpt":
+        return convert_unet_params(load_torch_state_dict(path), conf)
+    if path.is_dir():
+        import orbax.checkpoint as ocp
+        mgr = ocp.CheckpointManager(path.absolute())
+        step = mgr.latest_step()
+        assert step is not None, f"no orbax steps under {path}"
+        restored = mgr.restore(step)
+        return restored.get("ema_params") or restored["params"]
+    raise ValueError(f"unrecognized pretrain checkpoint: {path} "
+                    "(expected a .ckpt file or an orbax directory)")
+
+
 def convert_unet_params(sd: Dict[str, np.ndarray],
                         conf: TeraUNetConfig) -> Dict:
     """Build the flax param tree for TeraUNet from a reference state dict."""

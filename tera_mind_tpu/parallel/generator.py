@@ -506,9 +506,34 @@ class TeraGenerator:
                               f"tile_major={tm_} rejected ({type(e).__name__})",
                               flush=True)
                     continue
-                if need is None or need <= budget:
+                if need is None:
+                    # compiled fine but the backend reports no memory
+                    # analysis: accept only under a CONSERVATIVE analytic
+                    # patch bound instead of unconditionally (ADVICE r4 —
+                    # an unverified large candidate would reproduce the
+                    # runtime OOM this planner exists to prevent).  320 =
+                    # 2x the measured throughput sweet spot, just above
+                    # the measured-good 289-patch grid and far below the
+                    # measured-OOM 1089 one (BASELINE.md ladder).
+                    p_safe = int(os.environ.get("TMT_SAFE_PATCHES", "320"))
+                    pats = (wc_ * ppt) if tm_ else ppw(sr_ or rows)
+                    if pats > p_safe:
+                        if verbose:
+                            print(f"auto_plan: candidate strip={sr_} "
+                                  f"wc={wc_} tile_major={tm_} skipped — "
+                                  f"no memory analysis and {pats} patches "
+                                  f"> safe bound {p_safe}", flush=True)
+                        continue
                     tm, sr, wc = tm_, sr_, wc_
-                    if verbose and need is not None:
+                    if verbose:
+                        print(f"auto_plan: strip={sr or rows} wc={wc} "
+                              f"tile_major={tm} accepted UNVERIFIED "
+                              f"(no memory analysis; {pats} patches <= "
+                              f"safe bound {p_safe})", flush=True)
+                    break
+                if need <= budget:
+                    tm, sr, wc = tm_, sr_, wc_
+                    if verbose:
                         print(f"auto_plan: strip={sr or rows} wc={wc} "
                               f"tile_major={tm} needs {need/1e9:.1f} GB "
                               f"<= {budget/1e9:.1f} GB", flush=True)

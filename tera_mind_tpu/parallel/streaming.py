@@ -251,6 +251,29 @@ class StreamingGenerator:
         self.gen = gen
         self.sconf = sconf
         c = gen.conf
+        if c.window_chunk < 0:
+            # resolve AUTO (-1) for the streaming path: streaming never
+            # goes through compile_step/auto_plan, so -1 used to silently
+            # resolve to the safest chunk 1 via _wchunk — silently
+            # changing the measured streaming default (ADVICE r4).  Pick
+            # the largest z-window chunk whose patch batch stays under
+            # the analytic memory bound: reproduces the measured chunk-5
+            # default at block 2x2 (405 patches; BASELINE.md round-4
+            # streaming attribution) and steps down for bigger blocks.
+            import dataclasses as _dc
+            import os as _os
+            p_max = int(_os.environ.get("TMT_MAX_PATCHES", "600"))
+            tpp = c.tile // c.patch
+            ppw = ((sconf.block_rows * tpp + 1)
+                   * (sconf.block_cols * tpp + 1)
+                   if sconf.block_major else (tpp + 1) ** 2)
+            wc = 1
+            for d in range(1, c.n_win + 1):
+                if c.n_win % d == 0 and d * ppw <= p_max:
+                    wc = d
+            gen.conf = c = _dc.replace(c, window_chunk=wc)
+            print(f"streaming: window_chunk auto -> {wc} "
+                  f"({ppw} patches/z-window)", flush=True)
         self._pad = c.pad
         self.devices = devices
         # one compiled program per run: window denoise at fixed shape

@@ -199,6 +199,20 @@ class Trainer:
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                           opt_state=opt_state, ema_params=ema)
 
+    def state_from_params(self, params) -> TrainState:
+        """Fresh TrainState around PRETRAINED params: step 0, fresh
+        optimizer state — the reference's pretrain/``continue_from`` init
+        (experiment.py:50-58, 464-473), as opposed to :meth:`restore`
+        which resumes step and optimizer too.  Pass the result as
+        ``fit(state=...)`` (cli.train --pretrain does)."""
+        params = jax.tree.map(jnp.asarray, params)
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        print(f"Model params: {n/1e6:.2f} M (pretrained init)", flush=True)
+        ema = jax.tree.map(jnp.copy, params) if self.ema else None
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=self.optimizer.init(params),
+                          ema_params=ema)
+
     # ---------------- checkpointing (orbax) ----------------
     def _mgr(self):
         if self._ckpt_mgr is None:
@@ -366,24 +380,44 @@ class Trainer:
 
         import time
         losses, t0 = [], time.time()
-        for batch in itertools.chain([first], batch_iter):
-            if int(state.step) >= max_steps:
+        # wall-clock attribution: host/loader wait (next() + shape_batch,
+        # i.e. decode + H2D) vs device step (train_step through the
+        # state.step sync).  A loader-starved run shows up as a high
+        # data-wait share in every log line instead of an unexplained
+        # slow rate (VERDICT r4 ask #2 — the round-4 rehearsal trained
+        # ~60x under the bench_train rate with no recorded attribution).
+        t_data = t_step = 0.0
+        it = itertools.chain([first], batch_iter)
+        while int(state.step) < max_steps:
+            td = time.time()
+            try:
+                batch = next(it)
+            except StopIteration:
                 break
+            dev_batch = shape_batch(batch)
+            t_data += time.time() - td
             rng, step_rng = jax.random.split(rng)
-            state, loss = self.train_step(state, shape_batch(batch),
-                                          step_rng)
+            ts = time.time()
+            state, loss = self.train_step(state, dev_batch, step_rng)
             losses.append(loss)
-            step = int(state.step)
+            step = int(state.step)  # blocks on the device step
+            t_step += time.time() - ts
             if step % log_every == 0 or step == 1:
                 lv = float(jnp.stack(losses).mean())
+                n_logged = len(losses)
                 losses = []
                 dt = time.time() - t0
-                rate = conf.batch_size_effective * log_every / max(dt, 1e-9)
-                print(f"step {step}  loss {lv:.5f}  ({dt:.1f}s)", flush=True)
+                rate = conf.batch_size_effective * n_logged / max(dt, 1e-9)
+                dpct = 100.0 * t_data / max(t_data + t_step, 1e-9)
+                print(f"step {step}  loss {lv:.5f}  ({dt:.1f}s, "
+                      f"{rate:.1f} samples/s, data-wait {dpct:.0f}%)",
+                      flush=True)
                 if writer is not None:
                     writer.scalar("loss", lv, step)
                     writer.scalar("samples_per_sec", rate, step)
+                    writer.scalar("data_wait_pct", dpct, step)
                 t0 = time.time()
+                t_data = t_step = 0.0
             if step % conf.save_every_steps == 0:
                 self.save(state)
             if sample_dir and (step == 1

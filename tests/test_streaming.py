@@ -76,6 +76,31 @@ def test_streaming_block_major_matches():
     np.testing.assert_allclose(b, a, atol=1e-5)
 
 
+def test_streaming_window_chunk_auto_resolution():
+    """window_chunk=-1 must resolve for the streaming path too (ADVICE
+    r4: it used to silently fall through to 1 via _wchunk, changing the
+    measured streaming default without planning).  At flagship geometry
+    (tile 256 / patch 64 / 25 z-windows): a 2x2 block-major block
+    resolves to the measured tunneled-host default 5 (405 patches <=
+    TMT_MAX_PATCHES), a 4x4 block steps down to 1 (289-patch windows),
+    and tile-major streaming resolves to the reference default 5."""
+    cases = [  # (block, block_major, expected chunk)
+        (2, True, 5), (4, True, 1), (2, False, 5)]
+    for block, bm, want in cases:
+        gconf = GeneratorConfig(tile=256, patch=64, gn_blk=16, snum=4,
+                                n_slices=50, stains=2, gdim=8,
+                                noise_backend="jax", window_chunk=-1)
+        sched = spaced_schedule("linear", 1000, "ddim3")
+        sampler = DiffusionSampler(sched, SamplerConfig(patch_size=64,
+                                                        gn_sz=4))
+        gen = TeraGenerator(sampler, _toy_model, gconf)
+        StreamingGenerator(gen, StreamConfig(
+            block_rows=block, block_cols=block, block_major=bm,
+            progress=False))
+        assert gen.conf.window_chunk == want, \
+            (block, bm, gen.conf.window_chunk)
+
+
 def test_streaming_explicit_start_t():
     """state+start_t resumes mid-chain (the --cur_epoch protocol)."""
     gen, gconf = _mk()
