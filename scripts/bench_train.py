@@ -27,16 +27,20 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 
-def run(packed: bool, batch: int, accum: int, steps: int) -> float:
+def run(packed: bool, batch: int, accum: int, steps: int,
+        net_ch: int = 0, mouse: str = "638850") -> float:
     from tera_mind_tpu.config import prep_config
     from tera_mind_tpu.models.unet_packed import PackedTeraUNet
     from tera_mind_tpu.training.harness import (TrainState, make_optimizer,
                                                 make_train_step)
 
-    conf = prep_config("638850", batch=batch, size=64, stain="all", srna=4)
+    conf = prep_config(mouse, batch=batch, size=64, stain="all", srna=4)
     conf.accum_batches = accum
     conf.compute_dtype = "bfloat16"
     conf.dropout = 0.1
+    if net_ch:
+        conf.net_ch = net_ch  # e.g. 32 = the dress-rehearsal width, for
+        # reconciling cli.train rates against the pure-device step rate
 
     model5 = conf.make_model_conf().make_model()
     model = PackedTeraUNet(conf.make_model_conf(), from_5d=True,
@@ -90,11 +94,16 @@ def main():
     ap.add_argument("--accum", type=int, default=2)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--only", choices=("5d", "packed"), default=None)
+    ap.add_argument("--net_ch", type=int, default=0,
+                    help="override base width (0 = preset 64)")
+    ap.add_argument("--mouse", type=str, default="638850")
     args = ap.parse_args()
     if args.only != "packed":
-        run(False, args.batch, args.accum, args.steps)
+        run(False, args.batch, args.accum, args.steps,
+            net_ch=args.net_ch, mouse=args.mouse)
     if args.only != "5d":
-        run(True, args.batch, args.accum, args.steps)
+        run(True, args.batch, args.accum, args.steps,
+            net_ch=args.net_ch, mouse=args.mouse)
 
 
 if __name__ == "__main__":

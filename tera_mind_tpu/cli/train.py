@@ -113,7 +113,8 @@ def main():
         ds = MerfishTrainDataset(gene_files, gdim=500,
                                  gblk=conf.gn_blk, crop=4 * args.patch,
                                  snum=args.rna_slc, stain=args.stain,
-                                 pad_bins=conf.gn_sz // 2, repeat=repeat)
+                                 pad_bins=conf.gn_sz // 2, repeat=repeat,
+                                 compact=True)
 
     trainer = Trainer(conf)
     state = None

@@ -360,7 +360,14 @@ def calibrate_generator(gen, model, params, gene_grid, *, steps,
     dev_gene = jnp.asarray(np.asarray(gene_grid))
     step = gen.compile_step(rows, cols, block_major=True)
 
-    chunk = c.window_chunk or c.n_win
+    # re-read the conf AFTER compile_step: window_chunk=-1 (AUTO) is
+    # resolved by auto_plan inside it.  `c.window_chunk or c.n_win` on a
+    # raw -1 used to produce a NEGATIVE range step -> an empty window
+    # loop -> zero calibration records -> the static model later died
+    # with missing a_scale params (found by the round-5 dress rehearsal
+    # driving cli.generate --quant int8_static with the -1 default)
+    c = gen.conf
+    chunk = gen._wchunk()
     gn_per_patch = c.patch // c.gn_blk
     nb, hb = c.tile // c.gn_blk, c.pad // c.gn_blk
 
@@ -411,4 +418,6 @@ def calibrate_generator(gen, model, params, gene_grid, *, steps,
                 accum[k] = max(accum.get(k, 0.0), float(v))
         dev_state = step(dev_state, dev_gene, jnp.int32(t))
     jax.block_until_ready(dev_state)
+    assert accum, ("calibration recorded no activation amaxes — the "
+                   "instrumented window loop never ran")
     return bake_act_scales(params, accum, margin=margin)

@@ -39,6 +39,22 @@ class TrainState(struct.PyTreeNode):
     ema_params: Any = None
 
 
+def _decode_batch(image: jnp.ndarray, rna: jnp.ndarray):
+    """Compact-transfer decode (bit-exact; data/dataset.py compact=True):
+    RAW uint8 microscopy -> float32 [-1,1] via the identical
+    x*(1/127.5)-1 the host loader applies (multiply/subtract are
+    correctly rounded on TPU, unlike divide -> bit-equal to the host
+    path), integer gene counts -> float32 (counts < 2^24 are exact).
+    No-op for float inputs.  Cuts per-batch host->device bytes ~2.3x —
+    the dominant cli.train cost on slow links (BASELINE.md round 5)."""
+    if image.dtype == jnp.uint8:
+        image = (image.astype(jnp.float32) * jnp.float32(1.0 / 127.5)
+                 - jnp.float32(1.0))
+    else:
+        image = image.astype(jnp.float32)
+    return image, rna.astype(jnp.float32)
+
+
 def make_optimizer(conf: TrainConfig) -> optax.GradientTransformation:
     tx = []
     if conf.grad_clip > 0:
@@ -68,6 +84,7 @@ def make_train_step(model, sampler: DiffusionSampler, optimizer,
     T = sampler.schedule.num_timesteps
 
     def loss_fn(params, image, rna, rng):
+        image, rna = _decode_batch(image, rna)
         rng_t, rng_loss, rng_drop = jax.random.split(rng, 3)
         b = image.shape[0]
         t = jax.random.randint(rng_t, (b,), 0, T)
@@ -251,8 +268,10 @@ class Trainer:
 
         conf = self.conf
         rng = rng if rng is not None else jax.random.PRNGKey(step)
-        img = jnp.asarray(batch["image"][: conf.sample_size])
-        rna = jnp.asarray(batch["rna"][: conf.sample_size])
+        img, rna = _decode_batch(jnp.asarray(batch["image"]
+                                             [: conf.sample_size]),
+                                 jnp.asarray(batch["rna"]
+                                             [: conf.sample_size]))
         b, H, W, C = img.shape
         ps = conf.image_size
         params = state.ema_params if (self.ema and state.ema_params

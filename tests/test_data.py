@@ -173,6 +173,37 @@ def test_merfish_train_dataset_reference_format(tmp_path):
     assert b["rna"].shape == (2, 8, 8, 4 * gdim)
 
 
+def test_compact_dataset_bit_exact(tmp_path):
+    """compact=True emits RAW uint8 image + uint16 counts whose device
+    decode (harness._decode_batch) reproduces the float32 sample
+    BIT-exactly — the transfer-compression path cli.train defaults to
+    (2.3x fewer host->device bytes per batch)."""
+    import jax.numpy as jnp
+
+    from tera_mind_tpu.data.dataset import MerfishTrainDataset
+    from tera_mind_tpu.training.harness import _decode_batch
+
+    rng = np.random.default_rng(3)
+    H = W = 96
+    gdim, zmax = 12, 50
+    gdir = tmp_path / "gene_m"
+    idir = tmp_path / "img_m"
+    gdir.mkdir(); idir.mkdir()
+    coo = rand_coo(rng, (H, W, zmax * gdim), 800)
+    coo.save_npz(gdir / "a.npz")
+    np.save(idir / "a.npy",
+            rng.integers(0, 255, (100, H, W)).astype(np.uint8))
+
+    kw = dict(gdim=gdim, gblk=16, crop=64, snum=4, stain="all",
+              pad_bins=2, repeat=1, seed=9)
+    a = MerfishTrainDataset([gdir / "a.npz"], **kw).sample(0)
+    b = MerfishTrainDataset([gdir / "a.npz"], **kw, compact=True).sample(0)
+    assert b.image.dtype == np.uint8 and b.rna.dtype == np.uint16
+    img, rna = _decode_batch(jnp.asarray(b.image), jnp.asarray(b.rna))
+    np.testing.assert_array_equal(np.asarray(img), a.image)
+    np.testing.assert_array_equal(np.asarray(rna), a.rna)
+
+
 def test_multiworker_batches_match_sample_set():
     """workers>0 (process pool) yields the same multiset of samples as the
     dataset defines, batched correctly (reference DataLoader fork workers,

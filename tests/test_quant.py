@@ -446,6 +446,19 @@ def test_calibrate_generator_callback_free():
     assert abs(a.mean() - b.mean()) < 0.01
     assert abs(a.std() - b.std()) / a.std() < 0.02
 
+    # regression (round-5 rehearsal, cli.generate --quant int8_static
+    # with the --window_chunk -1 AUTO default): `window_chunk or n_win`
+    # on -1 made the calibration window loop an EMPTY negative range —
+    # zero amaxes recorded, the static model later died on missing
+    # a_scale.  The auto plan must resolve inside calibrate_generator.
+    import dataclasses
+    gconf_auto = dataclasses.replace(gconf, window_chunk=-1)
+    cgen_auto = TeraGenerator(sampler, mf_dyn, gconf_auto, params=paramsQ)
+    paramsA = calibrate_generator(cgen_auto, dyn, paramsQ, gene, steps=2)
+    n_auto = sum(1 for k, _ in jax.tree_util.tree_leaves_with_path(
+        paramsA) if getattr(k[-1], "key", None) == "a_scale")
+    assert n_auto == n_kq, (n_auto, n_kq)
+
 
 @pytest.mark.slow
 def test_streaming_quant_matches_in_hbm():
