@@ -100,7 +100,14 @@ def torch_protocol_loop(tmodel, ref_sampler, gconf, state0, gene, steps):
 
 
 def run(channels=32, rna=229, tile=256, grid=2, steps=15, quant=None,
-        seed=0, verbose=True):
+        seed=0, verbose=True, trained=None):
+    """``trained``: path to a training run dir (config.json + orbax/) —
+    the parity chains then run on GENUINELY TRAINED weights instead of a
+    random init (VERDICT r4 ask #4: trained weight/activation
+    distributions are what bf16 rounding and int8 calibration actually
+    face).  The flax params are loaded into the live torch reference via
+    the inverse layout mapping (tests/test_convert._flax_to_torch_sd,
+    round-trip-proven), so both sides run the same trained weights."""
     import numpy as np
     import torch
 
@@ -124,6 +131,15 @@ def run(channels=32, rna=229, tile=256, grid=2, steps=15, quant=None,
                                                   TeraGenerator)
 
     patch = 64
+    embed = 4 * channels
+    if trained is not None:
+        from tera_mind_tpu.config import TrainConfig
+        tc = TrainConfig.load(Path(trained) / "config.json")
+        mc = tc.make_model_conf()
+        channels, rna = mc.model_channels, mc.rna_num
+        embed = mc.embed_channels
+        assert mc.image_size == patch and mc.in_channels == 4, mc
+
     # single z-window geometry: n_slices=2, snum=4 -> zi=2, n_win=1,
     # channels = 2 stains * 2 z = 4 = model in_channels, z_pad = 4 RNA planes
     gconf = GeneratorConfig(tile=tile, patch=patch, gn_blk=16, snum=4,
@@ -134,12 +150,28 @@ def run(channels=32, rna=229, tile=256, grid=2, steps=15, quant=None,
     torch.manual_seed(seed)
     tmodel, _ = build_reference_model(
         image_size=patch, in_channels=4, model_channels=channels,
-        embed_channels=4 * channels, rna_num=rna)
+        embed_channels=embed, rna_num=rna)
     mconf = TeraUNetConfig(image_size=patch, gn_sz=patch // 16, rna_num=rna,
                            rna_tpl=(0, 1, 2, 3), in_channels=4,
                            out_channels=4, model_channels=channels,
-                           embed_channels=4 * channels, dropout=0.0)
-    params5 = convert_unet_params(torch_state_dict_numpy(tmodel), mconf)
+                           embed_channels=embed, dropout=0.0)
+    if trained is not None:
+        from test_convert import _flax_to_torch_sd
+
+        from tera_mind_tpu.convert import load_pretrain_params
+        params5 = load_pretrain_params(Path(trained) / "orbax", mconf)
+        sd = _flax_to_torch_sd(
+            jax.tree.map(lambda p: np.asarray(p, np.float32), params5),
+            mconf)
+        missing, unexpected = tmodel.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in sd.items()}, strict=False)
+        assert not missing, missing  # every torch param must be provided
+        if verbose:
+            print(f"[parity_tpu] trained weights from {trained} "
+                  f"(ch={channels}, rna={rna})", flush=True)
+    else:
+        params5 = convert_unet_params(torch_state_dict_numpy(tmodel), mconf)
 
     # --- the deployed path: packed params, bf16, block-major
     packed = pack_unet_params(
@@ -212,6 +244,10 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=15)
     ap.add_argument("--quant", default=None, choices=[None, "int8"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--trained", default=None,
+                    help="training run dir (config.json + orbax/): run "
+                    "the parity chains on trained weights")
     args = ap.parse_args()
     run(channels=args.channels, rna=args.rna, tile=args.tile,
-        grid=args.grid, steps=args.steps, quant=args.quant, seed=args.seed)
+        grid=args.grid, steps=args.steps, quant=args.quant,
+        seed=args.seed, trained=args.trained)
