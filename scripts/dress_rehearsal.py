@@ -333,7 +333,12 @@ def main():
                "eval": {k: rep[k] for k in keys if k in rep},
                "eval_int8": {k: rep_q[k] for k in keys if k in rep_q},
                "int8_vs_bf16": int8_vs_bf16}
-    (root / "summary.json").write_text(json.dumps(summary, indent=1))
+    blob = json.dumps(summary, indent=1)
+    (root / "summary.json").write_text(blob)
+    # The cache root is ephemeral (wiped on host resets) — persist the
+    # machine record next to the human one so the run survives the tree.
+    durable = Path(__file__).resolve().parent.parent / "docs" / "rehearsal_summary.json"
+    durable.write_text(blob)
     print(json.dumps(summary))
 
 
